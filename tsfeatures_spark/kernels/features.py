@@ -1,0 +1,726 @@
+"""Feature kernels: ``f(x: np.ndarray, freq: int) -> dict[str, float]``.
+
+From-scratch reimplementations of every feature in Nixtla/tsfeatures
+(reference: /root/reference/tsfeatures/tsfeatures.py), with the third-party
+math (statsmodels/scipy/sklearn/antropy) rebuilt in ``stats.py``.  Each
+kernel declares its full (freq-independent) output field list in the
+``FEATURES`` registry so Spark schemas are static; freq-conditional outputs
+are emitted as NaN/null when not applicable (the reference omits the key —
+config-time dynamism that our fixed schema absorbs, SURVEY.md §1.3).
+
+Purity contract: kernels never mutate their input (the reference's
+``intervals`` does, tsfeatures.py:441 — a known bug class pinned by its own
+test_mutability.py; we keep kernels pure and still return identical values).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List
+
+import numpy as np
+import pandas as pd
+
+from . import stats as st
+
+Kernel = Callable[..., Dict[str, float]]
+
+
+# ---------------------------------------------------------------------------
+# ACF / PACF families
+# ---------------------------------------------------------------------------
+
+def acf_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:35-101."""
+    m = int(freq)
+    n = len(x)
+    acfx = st.acf_biased(x, max(m, 10))
+    acfd1 = st.acf_biased(np.diff(x, n=1), 10) if n > 10 else np.array([np.nan, np.nan])
+    acfd2 = st.acf_biased(np.diff(x, n=2), 10) if n > 11 else np.array([np.nan, np.nan])
+    out = {
+        "x_acf1": float(acfx[1]) if len(acfx) > 1 else np.nan,
+        "x_acf10": float(np.sum(acfx[1:11] ** 2)) if n > 10 else np.nan,
+        "diff1_acf1": float(acfd1[1]),
+        "diff1_acf10": float(np.sum(acfd1[1:11] ** 2)) if n > 10 else np.nan,
+        "diff2_acf1": float(acfd2[1]),
+        "diff2_acf10": float(np.sum(acfd2[1:11] ** 2)) if n > 11 else np.nan,
+        "seas_acf1": np.nan,
+    }
+    if m > 1:
+        out["seas_acf1"] = float(acfx[m]) if len(acfx) > m else np.nan
+    return out
+
+
+def pacf_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:505-576 (method='ldb')."""
+    m = int(freq)
+    n = len(x)
+    nlags_ = max(m, 5)
+    pacfx = st.pacf_ldb(x, min(nlags_, max(n - 1, 1))) if n > 1 else np.array([np.nan])
+    if n > 5 and not np.all(np.isnan(pacfx)):
+        pacf_5 = float(np.nansum(pacfx[1:6] ** 2)) if np.isfinite(pacfx[1:6]).all() else float(np.sum(pacfx[1:6] ** 2))
+    else:
+        pacf_5 = np.nan
+    if n > 6:
+        d1 = st.pacf_ldb(np.diff(x, n=1), 5)
+        diff1_pacf_5 = float(np.sum(d1[1:6] ** 2))
+    else:
+        diff1_pacf_5 = np.nan
+    if n > 7:
+        d2 = st.pacf_ldb(np.diff(x, n=2), 5)
+        diff2_pacf_5 = float(np.sum(d2[1:6] ** 2))
+    else:
+        diff2_pacf_5 = np.nan
+    out = {
+        "x_pacf5": pacf_5,
+        "diff1x_pacf5": diff1_pacf_5,
+        "diff2x_pacf5": diff2_pacf_5,
+        "seas_pacf": np.nan,
+    }
+    if m > 1:
+        out["seas_pacf"] = float(pacfx[m]) if len(pacfx) > m else np.nan
+    return out
+
+
+def arch_stat(x: np.ndarray, freq: int = 1, lags: int = 12, demean: bool = True) -> Dict[str, float]:
+    """Parity: tsfeatures.py:103-134 (R^2 of x^2 on 12 lags of x^2)."""
+    if len(x) <= lags + 1:
+        return {"arch_lm": np.nan}
+    if demean:
+        x = x - np.mean(x)
+    mat = st.embed(x**2, lags + 1)
+    X, y = mat[:, 1:], mat[:, 0]
+    try:
+        r2 = st.ols_r2(X, y)
+    except Exception:
+        r2 = np.nan
+    return {"arch_lm": r2}
+
+
+# ---------------------------------------------------------------------------
+# Cheap / SQL-expressible scalars
+# ---------------------------------------------------------------------------
+
+def count_entropy(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:136-154: -sum(x*ln x | x>0)."""
+    pos = x[x > 0]
+    return {"count_entropy": float(-(pos * np.log(pos)).sum())}
+
+
+def crossing_points(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:156-178: # crossings of the median."""
+    midline = np.median(x)
+    ab = x <= midline
+    cross = ab[:-1] ^ ab[1:]
+    return {"crossing_points": float(cross.sum())}
+
+
+def entropy(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:180-201 via antropy.spectral_entropy semantics."""
+    try:
+        return {"entropy": st.spectral_entropy_normalized(np.asarray(x, dtype=float))}
+    except Exception:
+        return {"entropy": np.nan}
+
+
+def flat_spots(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:203-225 (pd.cut 10 bins, longest run)."""
+    try:
+        cutx = pd.cut(x, bins=10, include_lowest=True, labels=False)
+    except Exception:
+        return {"flat_spots": np.nan}
+    return {"flat_spots": float(st.run_lengths(np.asarray(cutx)).max())}
+
+
+def frequency(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:227-243."""
+    return {"frequency": float(freq)}
+
+
+def series_length(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:578-594."""
+    return {"series_length": float(len(x))}
+
+
+def sparsity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:596-612."""
+    return {"sparsity": float(np.mean(x == 0))}
+
+
+def intervals(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:425-446 — WITHOUT mutating the input.
+
+    Run lengths of consecutive positive values; mean and sd (ddof=1).
+    """
+    pos = (x > 0).astype(np.int8)
+    rl = st.run_lengths(pos)
+    # runs of positives only
+    if len(pos) == 0:
+        return {"intervals_mean": np.nan, "intervals_sd": np.nan}
+    starts_positive = pos[0] == 1
+    runs = rl[0::2] if starts_positive else rl[1::2]
+    runs = runs.astype(float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = float(np.mean(runs)) if runs.size else np.nan
+        sd = float(np.std(runs, ddof=1)) if runs.size else np.nan
+    return {"intervals_mean": mean, "intervals_sd": sd}
+
+
+def _tiled_stat(x: np.ndarray, freq: int, inner: str) -> float:
+    """Shared tiling rule for stability/lumpiness.
+    Parity: tsfeatures.py:448-479 / 614-645: width = freq if freq>1 else 10;
+    floor(n/width) full tiles (trailing partial dropped); result 0 if
+    n < 2*width; outer var is nanvar ddof=1."""
+    width = freq if freq > 1 else 10
+    nr = len(x)
+    nseg = int(nr / width)
+    if nr < 2 * width:
+        return 0.0
+    tiles = x[: nseg * width].reshape(nseg, width)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if inner == "mean":
+            per = np.nanmean(tiles, axis=1)
+        else:
+            per = np.nanvar(tiles, axis=1, ddof=1)
+        return float(np.nanvar(per, ddof=1))
+
+
+def stability(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:614-645."""
+    return {"stability": _tiled_stat(np.asarray(x, dtype=float), int(freq), "mean")}
+
+
+def lumpiness(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:448-479."""
+    return {"lumpiness": _tiled_stat(np.asarray(x, dtype=float), int(freq), "var")}
+
+
+def statistics(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:840-881. np.quantile = linear interpolation =
+    Spark/DuckDB exact percentile (NOT percentile_approx)."""
+    return {
+        "total_sum": float(np.sum(x)),
+        "mean": float(np.mean(x)),
+        "variance": float(np.var(x, ddof=1)),
+        "median": float(np.median(x)),
+        "p2point5": float(np.quantile(x, 0.025)),
+        "p5": float(np.quantile(x, 0.05)),
+        "p25": float(np.quantile(x, 0.25)),
+        "p75": float(np.quantile(x, 0.75)),
+        "p95": float(np.quantile(x, 0.95)),
+        "p97point5": float(np.quantile(x, 0.975)),
+        "max": float(np.max(x)),
+        "min": float(np.min(x)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Unit roots / tests
+# ---------------------------------------------------------------------------
+
+def unitroot_kpss(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:793-816."""
+    n = len(x)
+    nlags = int(4 * (n / 100) ** 0.25)
+    try:
+        return {"unitroot_kpss": st.kpss_stat(x, nlags)}
+    except Exception:
+        return {"unitroot_kpss": np.nan}
+
+
+def unitroot_pp(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:818-838."""
+    try:
+        return {"unitroot_pp": st.ur_pp_stat(x)}
+    except Exception:
+        return {"unitroot_pp": np.nan}
+
+
+def nonlinearity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:481-503."""
+    try:
+        t = st.terasvirta_stat(x)
+        return {"nonlinearity": float(10.0 * t / len(x))}
+    except Exception:
+        return {"nonlinearity": np.nan}
+
+
+def hurst(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:370-390 + utils.py:131-162."""
+    try:
+        return {"hurst": st.hurst_exponent(np.asarray(x, dtype=float))}
+    except Exception:
+        return {"hurst": np.nan}
+
+
+def guerrero(x: np.ndarray, freq: int = 1, lower: float = -1, upper: float = 2) -> Dict[str, float]:
+    """Parity: tsfeatures.py:245-276 (bounded scalar minimisation of the
+    Guerrero coefficient of variation over Box-Cox lambda)."""
+    try:
+        _, fx = st.fminbound(lambda lam: st.lambda_coef_var(lam, x=x, period=max(int(freq), 2) if freq > 1 else 2), lower, upper)
+        return {"guerrero": float(fx)}
+    except Exception:
+        return {"guerrero": np.nan}
+
+
+# ---------------------------------------------------------------------------
+# Fit-based kernels (Tier C)
+# ---------------------------------------------------------------------------
+
+def _holt_sse(params: np.ndarray, y: np.ndarray) -> float:
+    alpha, beta, l, b = params
+    sse = 0.0
+    for t in range(y.shape[0]):
+        yhat = l + b
+        e = y[t] - yhat
+        sse += e * e
+        l_new = alpha * y[t] + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        l = l_new
+    return sse
+
+
+def holt_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Additive-trend exponential smoothing (Holt) parameters by SSE
+    minimisation, statsmodels ``ExponentialSmoothing(trend='add').fit()``
+    semantics (tsfeatures.py:340-368): box bounds [1e-4, 1-1e-4] on
+    smoothing params, level/trend initials estimated jointly."""
+    try:
+        y = np.asarray(x, dtype=float)
+        n = len(y)
+        if n < 4:
+            return {"alpha": np.nan, "beta": np.nan}
+        k = min(n, 10)
+        tt = np.arange(1.0, k + 1.0)
+        slope, intercept = np.polyfit(tt, y[:k], 1)
+        lo = np.array([1e-4, 1e-4, -np.inf, -np.inf])
+        hi = np.array([1 - 1e-4, 1 - 1e-4, np.inf, np.inf])
+        best = (None, np.inf)
+        for a0 in (0.3, 0.7, 0.95):
+            for b0 in (0.05, 0.5, 0.95):
+                p0 = np.array([a0, b0, intercept, slope])
+                p, fx = st.nelder_mead(lambda p: _holt_sse(np.clip(p, lo, hi), y), p0, bounds=(lo, hi), maxiter=600)
+                if fx < best[1]:
+                    best = (p, fx)
+        p = best[0]
+        return {"alpha": float(p[0]), "beta": float(p[1])}
+    except Exception:
+        return {"alpha": np.nan, "beta": np.nan}
+
+
+def _hw_sse(params: np.ndarray, y: np.ndarray, m: int, l0: float, b0: float, s0: np.ndarray) -> float:
+    alpha, beta, gamma = params
+    l, b = l0, b0
+    s = s0.copy()
+    sse = 0.0
+    for t in range(y.shape[0]):
+        si = s[t % m]
+        yhat = l + b + si
+        e = y[t] - yhat
+        sse += e * e
+        l_new = alpha * (y[t] - si) + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        s[t % m] = gamma * (y[t] - l_new) + (1.0 - gamma) * si
+        l = l_new
+    return sse
+
+
+def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Additive Holt-Winters parameters by SSE minimisation
+    (tsfeatures.py:392-423). Seasonal initials via classical decomposition
+    heuristic; alpha/beta/gamma optimised within [1e-4, 1-1e-4]."""
+    nan = {"hw_alpha": np.nan, "hw_beta": np.nan, "hw_gamma": np.nan}
+    try:
+        m = int(freq)
+        y = np.asarray(x, dtype=float)
+        n = len(y)
+        if m < 2 or n < 2 * m + 2:
+            return nan
+        # heuristic initials: 2*m-window decomposition
+        seasons = y[: (n // m) * m].reshape(-1, m)
+        row_means = seasons.mean(axis=1, keepdims=True)
+        s0 = (seasons - row_means).mean(axis=0)
+        s0 = s0 - s0.mean()
+        tt = np.arange(1.0, min(n, 2 * m) + 1.0)
+        deseas = y[: len(tt)] - np.tile(s0, 3)[: len(tt)]
+        slope, intercept = np.polyfit(tt, deseas, 1)
+        lo = np.array([1e-4] * 3)
+        hi = np.array([1 - 1e-4] * 3)
+        best = (None, np.inf)
+        for p0 in ([0.3, 0.1, 0.1], [0.7, 0.05, 0.3], [0.95, 0.5, 0.05]):
+            p, fx = st.nelder_mead(
+                lambda p: _hw_sse(np.clip(p, lo, hi), y, m, intercept, slope, s0),
+                np.array(p0), bounds=(lo, hi), maxiter=400,
+            )
+            if fx < best[1]:
+                best = (p, fx)
+        p = best[0]
+        return {"hw_alpha": float(p[0]), "hw_beta": float(p[1]), "hw_gamma": float(p[2])}
+    except Exception:
+        return nan
+
+
+def heterogeneity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """Parity: tsfeatures.py:278-338. NOTE: unrunnable in the reference
+    itself on its pinned deps (statsmodels>=0.13 removed ``AR`` —
+    SURVEY.md §2.6.9), so this is a best-effort reconstruction:
+    AR(p<=10*log10 n) whitening chosen by AIC over OLS fits, then arch_lm
+    and Ljung-Box-style sums on squared residuals; GARCH(1,1) via
+    hand-rolled gaussian MLE (Nelder-Mead)."""
+    nan = {"arch_acf": np.nan, "garch_acf": np.nan, "arch_r2": np.nan, "garch_r2": np.nan}
+    try:
+        y = np.asarray(x, dtype=float)
+        n = len(y)
+        order_max = int(min(n - 1, np.floor(10 * np.log10(n))))
+        if order_max < 1 or n < order_max + 3:
+            return nan
+        best_aic, resid = np.inf, None
+        for p in range(0, order_max + 1):
+            if p == 0:
+                r = y - y.mean()
+                nobs = n
+            else:
+                mat = st.embed(y, p + 1)
+                _, r = st.lstsq_const(mat[:, 1:], mat[:, 0])
+                nobs = len(r)
+            if nobs <= p + 1:
+                continue
+            sigma2 = float(np.dot(r, r)) / nobs
+            if sigma2 <= 0:
+                continue
+            aic = np.log(sigma2) + 2.0 * (p + 1) / nobs
+            if aic < best_aic:
+                best_aic, resid = aic, r
+        if resid is None:
+            return nan
+        arch_r2 = arch_stat(resid, freq)["arch_lm"]
+        lb = float(np.sum(st.acf_biased(resid**2, 12)[1:] ** 2))
+        garch_resid = _garch11_resid(resid)
+        if garch_resid is None:
+            return {"arch_acf": lb, "garch_acf": np.nan, "arch_r2": arch_r2, "garch_r2": np.nan}
+        garch_r2 = arch_stat(garch_resid, freq)["arch_lm"]
+        lb2 = float(np.sum(st.acf_biased(garch_resid**2, 12)[1:] ** 2))
+        return {"arch_acf": lb, "garch_acf": lb2, "arch_r2": arch_r2, "garch_r2": garch_r2}
+    except Exception:
+        return nan
+
+
+def _garch11_resid(r: np.ndarray):
+    """GARCH(1,1) gaussian MLE; returns mean-model residuals (arch-package
+    ``fit().resid`` is the demeaned series for a constant-mean model)."""
+    r = np.asarray(r, dtype=float)
+    n = len(r)
+    if n < 20:
+        return None
+    mu0 = r.mean()
+    e0 = r - mu0
+    var = float(np.var(e0))
+    if var <= 0:
+        return None
+
+    def negll(params):
+        mu, om, al, be = params
+        if om <= 0 or al < 0 or be < 0 or al + be >= 0.9999:
+            return 1e12
+        e = r - mu
+        h = np.empty(n)
+        h[0] = var
+        for t in range(1, n):
+            h[t] = om + al * e[t - 1] ** 2 + be * h[t - 1]
+        if np.any(h <= 0):
+            return 1e12
+        return 0.5 * float(np.sum(np.log(h) + e**2 / h))
+
+    p0 = np.array([mu0, var * 0.1, 0.1, 0.8])
+    p, _ = st.nelder_mead(negll, p0, maxiter=800)
+    return r - p[0]
+
+
+# ---------------------------------------------------------------------------
+# STL / decomposition
+# ---------------------------------------------------------------------------
+
+def stl_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+    """STL-decomposition features. Parity: tsfeatures.py:647-791.
+
+    freq > 1: STL(x, period=m, seasonal=13) — reimplemented loess-based STL
+    (see _stl_decompose). freq == 1: Friedman SuperSmoother trend
+    (_supsmu). Downstream stats (strengths, spike, linearity/curvature via
+    orthogonal polys, e_acf*) follow tsfeatures.py:723-791 exactly.
+    """
+    m = int(freq)
+    nperiods = float(m > 1)
+    base = {
+        "nperiods": nperiods, "seasonal_period": float(m),
+        "trend": np.nan, "spike": np.nan, "linearity": np.nan,
+        "curvature": np.nan, "e_acf1": np.nan, "e_acf10": np.nan,
+        "seasonal_strength": np.nan, "peak": np.nan, "trough": np.nan,
+    }
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    try:
+        if m > 1:
+            if n < 2 * m + 1:
+                return base
+            seasonal, trend0, remainder = _stl_decompose(x, m, seasonal_len=13)
+        else:
+            trend0 = _supsmu(np.arange(1.0, n + 1.0), x)
+            remainder = x - trend0
+            seasonal = np.zeros(n)
+    except Exception:
+        return base
+
+    detrend = x - trend0
+    deseason = x - seasonal
+    with np.errstate(divide="ignore", invalid="ignore"):
+        varx = float(np.nanvar(x, ddof=1))
+        vare = float(np.nanvar(remainder, ddof=1))
+        vardeseason = float(np.nanvar(deseason, ddof=1))
+        eps = float(np.finfo(float).eps)
+        if varx < eps or (vardeseason / varx < 1e-10 if varx > 0 else True):
+            trend = 0.0
+        else:
+            trend = max(0.0, min(1.0, 1.0 - vare / vardeseason))
+        out = dict(base)
+        out["trend"] = trend
+        if m > 1:
+            var_rs = float(np.nanvar(remainder + seasonal, ddof=1))
+            if varx < eps or var_rs < eps:
+                season = 0.0
+            else:
+                season = max(0.0, min(1.0, 1.0 - vare / var_rs))
+            peak = (int(np.argmax(seasonal)) + 1) % m
+            trough = (int(np.argmin(seasonal)) + 1) % m
+            out["seasonal_strength"] = season
+            out["peak"] = float(m if peak == 0 else peak)
+            out["trough"] = float(m if trough == 0 else trough)
+        d = (remainder - np.nanmean(remainder)) ** 2
+        varloo = (vare * (n - 1) - d) / (n - 2) if n > 2 else np.full(n, np.nan)
+        out["spike"] = float(np.nanvar(varloo, ddof=1))
+        time = np.arange(1.0, n + 1.0)
+        pm = st.poly_orth(time, 2)
+        beta, _ = st.lstsq_const(pm, trend0)
+        out["linearity"] = float(beta[1]) if len(beta) > 1 else np.nan
+        out["curvature"] = float(-beta[2]) if len(beta) > 2 else np.nan
+        acfrem = acf_features(remainder, m)
+        out["e_acf1"] = acfrem["x_acf1"]
+        out["e_acf10"] = acfrem["x_acf10"]
+    return out
+
+
+def _loess(y: np.ndarray, span_pts: int, degree: int = 1) -> np.ndarray:
+    """Local weighted regression over an equally spaced grid (tricube
+    weights), evaluated at every point. O(n*span)."""
+    n = len(y)
+    q = min(max(int(span_pts), degree + 1), max(n, degree + 1))
+    t = np.arange(n, dtype=float)
+    out = np.empty(n)
+    half = q // 2
+    for i in range(n):
+        lo = max(0, min(i - half, n - q))
+        hi = lo + q
+        if hi > n:
+            hi = n
+            lo = max(0, hi - q)
+        tt = t[lo:hi] - i
+        dmax = max(abs(tt[0]), abs(tt[-1]), 1.0)
+        w = (1 - np.abs(tt / dmax) ** 3) ** 3
+        w = np.clip(w, 0, None)
+        if degree == 0:
+            out[i] = float(np.dot(w, y[lo:hi]) / w.sum())
+        else:
+            W = w
+            A = np.column_stack([np.ones_like(tt), tt] + ([tt**2] if degree == 2 else []))
+            AW = A * W[:, None]
+            beta, *_ = np.linalg.lstsq(AW.T @ A, AW.T @ y[lo:hi], rcond=None)
+            out[i] = float(beta[0])
+    return out
+
+
+def _stl_decompose(x: np.ndarray, m: int, seasonal_len: int = 13, n_inner: int = 2):
+    """STL (Cleveland et al. 1990) inner loop, non-robust, matching
+    statsmodels STL(x, m, 13) defaults: seasonal LOESS length 13 deg 1,
+    trend length = next odd >= ceil(1.5m / (1 - 1.5/13)), low-pass = next
+    odd >= m."""
+    n = len(x)
+    trend_len = int(np.ceil(1.5 * m / (1 - 1.5 / seasonal_len)))
+    if trend_len % 2 == 0:
+        trend_len += 1
+    low_len = m if m % 2 == 1 else m + 1
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    for _ in range(n_inner):
+        detr = x - trend
+        # cycle-subseries smoothing
+        C = np.empty(n + 2 * m)
+        for j in range(m):
+            sub = detr[j::m]
+            sm = _loess(sub, seasonal_len, degree=1)
+            # extend one period each side (loess endpoint extrapolation ~ repeat ends)
+            ext = np.concatenate([[sm[0]], sm, [sm[-1]]])
+            C[j::m] = ext[: len(C[j::m])] if len(ext) >= len(C[j::m]) else np.resize(ext, len(C[j::m]))
+        # low-pass: 3 moving averages (m, m, 3) + loess deg 1
+        L = _ma(_ma(_ma(C, m), m), 3)
+        L = _loess(L, low_len, degree=1)
+        # align: C has n + 2m points centred; after MA(m) twice + MA(3), length n
+        seasonal = C[m : m + n] - L[:n]
+        trend = _loess(x - seasonal, trend_len, degree=1)
+    remainder = x - trend - seasonal
+    return seasonal, trend, remainder
+
+
+def _ma(a: np.ndarray, w: int) -> np.ndarray:
+    if w <= 1:
+        return a.copy()
+    c = np.convolve(a, np.ones(w) / w, mode="valid")
+    return c
+
+
+def _supsmu(t: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Friedman's SuperSmoother (variable-span smoother), simplified:
+    three tweeter/midrange/woofer spans (0.05, 0.2, 0.5), leave-one-out CV
+    to pick the best span per point, then a final midrange smooth of the
+    chosen values. Matches supersmoother package semantics approximately
+    (tsfeatures.py:706 uses SuperSmoother().fit().predict)."""
+    n = len(y)
+    if n < 5:
+        return np.full(n, float(np.mean(y)))
+    spans = [0.05, 0.2, 0.5]
+    fits, resids = [], []
+    for sp in spans:
+        k = max(2, int(sp * n))
+        f = _running_linear(y, k)
+        fits.append(f)
+        # approximate LOO residual: r / (1 - 1/k)
+        resids.append(np.abs((y - f) / max(1 - 1.0 / k, 1e-9)))
+    R = np.vstack(resids)
+    # smooth CV residuals with midrange span, pick best span per point
+    k_mid = max(2, int(0.2 * n))
+    R_sm = np.vstack([_running_mean(r, k_mid) for r in R])
+    best = np.argmin(R_sm, axis=0)
+    chosen = np.choose(best, fits)
+    return _running_mean(chosen, max(2, int(0.05 * n)))
+
+
+def _running_linear(y: np.ndarray, k: int) -> np.ndarray:
+    """Centered running linear fit of window k (edge-truncated), vectorized
+    via cumulative sums."""
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    half = k // 2
+    lo = np.maximum(0, np.arange(n) - half)
+    hi = np.minimum(n, np.arange(n) + half + 1)
+    c1 = np.concatenate([[0.0], np.cumsum(np.ones(n))])
+    ct = np.concatenate([[0.0], np.cumsum(t)])
+    ct2 = np.concatenate([[0.0], np.cumsum(t * t)])
+    cy = np.concatenate([[0.0], np.cumsum(y)])
+    cty = np.concatenate([[0.0], np.cumsum(t * y)])
+    N = c1[hi] - c1[lo]
+    St = ct[hi] - ct[lo]
+    St2 = ct2[hi] - ct2[lo]
+    Sy = cy[hi] - cy[lo]
+    Sty = cty[hi] - cty[lo]
+    denom = N * St2 - St * St
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(denom != 0, (N * Sty - St * Sy) / denom, 0.0)
+        intercept = (Sy - slope * St) / N
+    return intercept + slope * t
+
+
+def _running_mean(y: np.ndarray, k: int) -> np.ndarray:
+    n = len(y)
+    half = k // 2
+    lo = np.maximum(0, np.arange(n) - half)
+    hi = np.minimum(n, np.arange(n) + half + 1)
+    cy = np.concatenate([[0.0], np.cumsum(y)])
+    c1 = np.concatenate([[0.0], np.cumsum(np.ones(n))])
+    return (cy[hi] - cy[lo]) / (c1[hi] - c1[lo])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# feature name -> (kernel, ordered output fields). Field order defines the
+# static Spark schema; ChainMap-first-wins dedup of the reference
+# (tsfeatures.py:926) is resolved statically at plan time (SURVEY.md §1.3).
+FEATURES: Dict[str, tuple] = {
+    "acf_features": (acf_features, ["x_acf1", "x_acf10", "diff1_acf1", "diff1_acf10", "diff2_acf1", "diff2_acf10", "seas_acf1"]),
+    "arch_stat": (arch_stat, ["arch_lm"]),
+    "count_entropy": (count_entropy, ["count_entropy"]),
+    "crossing_points": (crossing_points, ["crossing_points"]),
+    "entropy": (entropy, ["entropy"]),
+    "flat_spots": (flat_spots, ["flat_spots"]),
+    "frequency": (frequency, ["frequency"]),
+    "guerrero": (guerrero, ["guerrero"]),
+    "heterogeneity": (heterogeneity, ["arch_acf", "garch_acf", "arch_r2", "garch_r2"]),
+    "holt_parameters": (holt_parameters, ["alpha", "beta"]),
+    "hurst": (hurst, ["hurst"]),
+    "hw_parameters": (hw_parameters, ["hw_alpha", "hw_beta", "hw_gamma"]),
+    "intervals": (intervals, ["intervals_mean", "intervals_sd"]),
+    "lumpiness": (lumpiness, ["lumpiness"]),
+    "nonlinearity": (nonlinearity, ["nonlinearity"]),
+    "pacf_features": (pacf_features, ["x_pacf5", "diff1x_pacf5", "diff2x_pacf5", "seas_pacf"]),
+    "series_length": (series_length, ["series_length"]),
+    "sparsity": (sparsity, ["sparsity"]),
+    "stability": (stability, ["stability"]),
+    "statistics": (statistics, ["total_sum", "mean", "variance", "median", "p2point5", "p5", "p25", "p75", "p95", "p97point5", "max", "min"]),
+    "stl_features": (stl_features, ["nperiods", "seasonal_period", "trend", "spike", "linearity", "curvature", "e_acf1", "e_acf10", "seasonal_strength", "peak", "trough"]),
+    "unitroot_kpss": (unitroot_kpss, ["unitroot_kpss"]),
+    "unitroot_pp": (unitroot_pp, ["unitroot_pp"]),
+}
+
+# default feature set of the reference entry point (tsfeatures.py:932-937)
+DEFAULT_FEATURES: List[str] = [
+    "acf_features", "arch_stat", "crossing_points", "entropy", "flat_spots",
+    "heterogeneity", "holt_parameters", "lumpiness", "nonlinearity",
+    "pacf_features", "stl_features", "stability", "hw_parameters",
+    "unitroot_kpss", "unitroot_pp", "series_length", "hurst",
+]
+
+# the north-star priority subset (BASELINE.json) — all cheap, used by the
+# per-window tier rollup
+NORTH_STAR_FEATURES: List[str] = [
+    "statistics", "acf_features", "stability", "lumpiness",
+    "crossing_points", "flat_spots", "entropy",
+]
+
+
+def output_fields(features: List[str]) -> List[str]:
+    """Ordered, de-duplicated output column list (first-wins, matching the
+    reference's ChainMap(*dicts) precedence where the FIRST feature in the
+    list wins on duplicate keys — tsfeatures.py:926)."""
+    seen: Dict[str, None] = {}
+    for name in features:
+        for f in FEATURES[name][1]:
+            seen.setdefault(f)
+    return list(seen)
+
+
+def compute_features(
+    x: np.ndarray,
+    freq: int = 1,
+    features: List[str] | None = None,
+    scale: bool = True,
+) -> Dict[str, float]:
+    """Run kernels over one series; silent NaN on kernel exception
+    (reference behaviour, SURVEY.md §2.6.7). ``scale`` z-scales with ddof=1
+    first (tsfeatures.py:923-924)."""
+    names = features if features is not None else DEFAULT_FEATURES
+    x = np.asarray(x, dtype=float)
+    if scale:
+        x = st.scalets(x)
+    out: Dict[str, float] = {}
+    for name in names:
+        kernel, fields = FEATURES[name]
+        try:
+            vals = kernel(x, freq)
+        except Exception:
+            vals = {}
+        for f in fields:
+            v = vals.get(f, np.nan)
+            if f not in out or (name == names[0]):
+                # first-wins: only set if unseen (ChainMap precedence)
+                if f not in out:
+                    out[f] = float(v) if v is not None else np.nan
+    return out
