@@ -1,38 +1,871 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: 1-minute windowed statistics rollup over
+                       ``events`` at sf0.001 (the engine's tier-0 shape).
+``queries()``        — one entry per implemented operator (SURVEY.md §2):
+                       relational coverage, SQL-native feature kernels,
+                       tier rollup + algebraic cascade merge, gap-fill,
+                       forecast metrics, dedup/text/similarity/multimodal
+                       training-data ops.
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query. Omitted only
+                       for genuinely non-SQL ops (minhash/simhash LSH,
+                       hyperplane ANN, kernel-based feature extraction,
+                       token-tier rollup — those are pinned by pytest
+                       against NumPy oracles instead).
+
+Float aggregate columns are rounded (4-6 dp) on BOTH sides so the driver's
+order-insensitive value-hash is robust to summation-order ulps.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, p: int = 4):
+    """Round with a tiny pre-shift: the test data lives on a 2-decimal grid,
+    so statistics land EXACTLY on rounding midpoints (e.g. variance
+    3403.125) where a 1-ulp engine difference flips HALF_UP. The epsilon
+    (applied identically in the DuckDB oracles) pushes values off the
+    knife edge; compared values stay bit-identical on both sides."""
+    return F.round(c + F.lit(1e-6), p)
+
+
+# ---------------------------------------------------------------------------
+# events helpers: the (unique_id=event_type, ds=row_number, y=value) panel
+# ---------------------------------------------------------------------------
+
+def _event_panel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("event_type", "ts", "event_id", "value")
+        .withColumn("ds", F.row_number().over(w))
+        .withColumn("y_hat", F.lag("value").over(w))
+        .withColumn("y_bench", F.lag("value", 2).over(w))
+        .withColumnRenamed("event_type", "unique_id")
+        .withColumnRenamed("value", "y")
+    )
+
+
+_PANEL_SQL = """
+    select event_type as unique_id, value as y,
+           row_number() over (partition by event_type order by ts, event_id) as ds,
+           lag(value) over (partition by event_type order by ts, event_id) as y_hat,
+           lag(value, 2) over (partition by event_type order by ts, event_id) as y_bench
+    from events
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_segment_revenue(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    re = _t(spark, sf_dir, "region")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def q_window_top_order(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        od.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", _r(F.col("o_totalprice")).alias("top_price"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+def ts_stats_events(spark, sf_dir):
+    from tsfeatures_spark.functions import statistics_aggs
+
+    ev = _t(spark, sf_dir, "events")
+    aggs = statistics_aggs("value")
+    return ev.groupBy("event_type").agg(*[_r(a, 4).alias(n) for a, n in zip(
+        aggs, ["total_sum", "mean", "variance", "median", "p2point5", "p5",
+               "p25", "p75", "p95", "p97point5", "max", "min"])])
+
+
+def ts_sparsity_entropy_len(spark, sf_dir):
+    from tsfeatures_spark.functions import count_entropy_agg, series_length_agg, sparsity_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r(sparsity_agg("value"), 6).alias("sparsity"),
+        _r(count_entropy_agg("value"), 4).alias("count_entropy"),
+        series_length_agg(),
+    )
+
+
+def ts_crossing_points(spark, sf_dir):
+    from tsfeatures_spark.functions import crossing_points_df
+
+    ev = _t(spark, sf_dir, "events")
+    return crossing_points_df(ev, ["event_type"], ["ts", "event_id"], "value")
+
+
+def ts_stability(spark, sf_dir):
+    from tsfeatures_spark.functions import tiled_var_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = tiled_var_df(ev, ["event_type"], ["ts", "event_id"], "value", width=10, inner="mean")
+    return out.select("event_type", _r(F.col("stability"), 5).alias("stability"))
+
+
+def ts_lumpiness(spark, sf_dir):
+    from tsfeatures_spark.functions import tiled_var_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = tiled_var_df(ev, ["event_type"], ["ts", "event_id"], "value", width=10, inner="var")
+    return out.select("event_type", _r(F.col("lumpiness"), 5).alias("lumpiness"))
+
+
+def ts_acf1(spark, sf_dir):
+    from tsfeatures_spark.functions import acf1_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = acf1_df(ev, ["event_type"], ["ts", "event_id"], "value")
+    return out.select("event_type", _r(F.col("x_acf1"), 6).alias("x_acf1"))
+
+
+def ts_rollup_1m(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
+    return (
+        ev.groupBy("event_type", win.alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value")).alias("total_sum"),
+            _r(F.avg("value")).alias("mean"),
+            _r(F.var_samp("value"), 2).alias("variance"),
+            _r(F.min("value")).alias("vmin"),
+            _r(F.max("value")).alias("vmax"),
+        )
+    )
+
+
+def ts_rollup_1h_cascade(spark, sf_dir):
+    """1h tier derived from the 1m tier by pure-SQL Chan merge — the
+    continuous-aggregate maintenance path. Oracle computes 1h directly
+    from raw, so equality proves the cascade algebra."""
+    ev = _t(spark, sf_dir, "events")
+    win1m = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
+    m1 = ev.groupBy("event_type", win1m.alias("window_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.avg("value").alias("m"),
+        (F.var_samp("value") * (F.count(F.lit(1)) - 1)).alias("m2"),
+    )
+    child = m1.withColumn("window_id", (F.col("window_id") / 60).cast("long"))
+    keys = ["event_type", "window_id"]
+    # numerically stable two-pass Chan combine (see rollup.merge_algebraic)
+    g1 = child.groupBy(*keys).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"),
+        F.min("mn").alias("vmin"), F.max("mx").alias("vmax"),
+    ).withColumn("mu", F.col("s") / F.col("n"))
+    dev = F.col("c.m") - F.col("g.mu")
+    g2 = (
+        child.alias("c")
+        .join(g1.alias("g"), keys)
+        .groupBy(*[F.col(f"g.{k}").alias(k) for k in keys])
+        .agg((F.sum(F.coalesce(F.col("c.m2"), F.lit(0.0))) + F.sum(F.col("c.n") * dev * dev)).alias("m2"))
+    )
+    return g1.join(g2, keys).select(
+        "event_type", "window_id", "n",
+        _r(F.col("s")).alias("total_sum"),
+        _r(F.col("s") / F.col("n"), 3).alias("mean"),
+        _r(F.try_divide(F.col("m2"), F.col("n") - 1), 2).alias("variance"),
+        _r(F.col("vmin")).alias("vmin"),
+        _r(F.col("vmax")).alias("vmax"),
+    )
+
+
+def ts_gapfill_locf(spark, sf_dir):
+    from tsfeatures_spark.operators.gapfill import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(600_000_000)).cast("long")  # 10-min buckets -> guaranteed gaps
+    per_w = ev.groupBy("event_type", win.alias("window_id")).agg(F.avg("value").alias("mean"))
+    filled = gapfill(per_w, ["event_type"], "window_id", ["mean"], mode="locf")
+    return filled.select(
+        "event_type", "window_id",
+        F.col("is_gap").cast("int").alias("is_gap"),
+        _r(F.col("mean_filled"), 5).alias("mean_filled"),
+    )
+
+
+def m_pointwise_metrics(spark, sf_dir):
+    from tsfeatures_spark.metrics import mape_expr, mse_expr, pinball_expr, rmse_expr, smape_expr
+
+    p = _event_panel(spark, sf_dir).where(F.col("y_hat").isNotNull())
+    return p.groupBy("unique_id").agg(
+        _r(mse_expr(), 5).alias("mse"),
+        _r(rmse_expr(), 5).alias("rmse"),
+        _r(mape_expr(), 4).alias("mape"),
+        _r(smape_expr(), 4).alias("smape"),
+        _r(pinball_expr(), 5).alias("pinball_loss"),
+    )
+
+
+def _split_panel(spark, sf_dir):
+    p = _event_panel(spark, sf_dir)
+    n = p.groupBy("unique_id").agg(F.count(F.lit(1)).alias("_n"))
+    p = p.join(F.broadcast(n), "unique_id").withColumn("_cut", F.floor(0.8 * F.col("_n")))
+    train = p.where(F.col("ds") <= F.col("_cut")).select("unique_id", "ds", "y")
+    test = p.where((F.col("ds") > F.col("_cut")) & F.col("y_hat").isNotNull())
+    return train, test
+
+
+def m_mase(spark, sf_dir):
+    from tsfeatures_spark.metrics import evaluate_panel
+
+    train, test = _split_panel(spark, sf_dir)
+    out = evaluate_panel(
+        test.select("unique_id", "ds", "y"),
+        test.select("unique_id", "ds", "y_hat"),
+        "mase", y_train=train, seasonality=24,
+    )
+    return out.select("unique_id", _r(F.col("error"), 4).alias("mase"))
+
+
+def m_rmsse(spark, sf_dir):
+    from tsfeatures_spark.metrics import evaluate_panel
+
+    train, test = _split_panel(spark, sf_dir)
+    out = evaluate_panel(
+        test.select("unique_id", "ds", "y"),
+        test.select("unique_id", "ds", "y_hat"),
+        "rmsse", y_train=train, seasonality=24,
+    )
+    return out.select("unique_id", _r(F.col("error"), 4).alias("rmsse"))
+
+
+def m_mini_owa(spark, sf_dir):
+    from tsfeatures_spark.metrics import evaluate_panel
+
+    train, test = _split_panel(spark, sf_dir)
+    test = test.where(F.col("y_bench").isNotNull())
+    out = evaluate_panel(
+        test.select("unique_id", "ds", "y"),
+        test.select("unique_id", "ds", "y_hat"),
+        "mini_owa", y_train=train, seasonality=24,
+        y_bench=test.select("unique_id", "ds", F.col("y_bench").alias("y_hat")),
+    )
+    return out.select("unique_id", _r(F.col("error"), 5).alias("mini_owa"))
+
+
+def doc_exact_dedup(spark, sf_dir):
+    from tsfeatures_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
+    groups = exact_dedup(doubled)
+    return groups.groupBy("dup_count").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("canonical_id").alias("first_canonical"),
+    )
+
+
+def doc_token_counts(spark, sf_dir):
+    from tsfeatures_spark.operators.text import token_count_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = token_count_cols("text")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        cols[0], cols[1], _r(cols[2], 4).alias("chars_per_token"),
+    )
+
+
+def doc_quality(spark, sf_dir):
+    from tsfeatures_spark.operators.text import quality_cols
+
+    d = _t(spark, sf_dir, "documents")
+    c = quality_cols("text")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        c[0],
+        _r(c[1], 5).alias("alpha_ratio"),
+        _r(c[2], 5).alias("digit_ratio"),
+        _r(c[3], 5).alias("punct_ratio"),
+        _r(c[5], 4).alias("mean_word_len"),
+        _r(c[6], 5).alias("quality_score"),
+    )
+
+
+def doc_lang_id(spark, sf_dir):
+    from tsfeatures_spark.operators.text import lang_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", *lang_score_cols("text"))
+    return scored.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def doc_fingerprint(spark, sf_dir):
+    from tsfeatures_spark.operators.text import fingerprint_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"), fingerprint_col("text"))
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    from tsfeatures_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    pairs = ngram_jaccard_pairs(d, n=3, block_cols=["lang"], min_jaccard=0.05)
+    return pairs.select("id_a", "id_b", _r(F.col("jaccard"), 5).alias("jaccard"))
+
+
+def emb_knn_bruteforce(spark, sf_dir):
+    from tsfeatures_spark.operators.similarity import brute_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = brute_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos_sim"), 5).alias("cos_sim")
+    )
+
+
+def emb_dup_pairs(spark, sf_dir):
+    from tsfeatures_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(e, threshold=0.9)
+    return out.select("id_a", "id_b", _r(F.col("cos_sim"), 5).alias("cos_sim"))
+
+
+# --- rows-only checks (non-SQL-expressible; pinned by pytest oracles) ------
+
+def dedup_minhash_lsh(spark, sf_dir):
+    from tsfeatures_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
+    return minhash_lsh_pairs(doubled, num_hashes=32, bands=8).where(F.col("est_jaccard") >= 0.5)
+
+
+def dedup_simhash(spark, sf_dir):
+    from tsfeatures_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
+    return simhash_near_pairs(doubled, max_hamming=2)
+
+
+def emb_ann_lsh(spark, sf_dir):
+    from tsfeatures_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=5, bits=6)
+
+
+def multimodal_decode(spark, sf_dir):
+    from tsfeatures_spark.operators.multimodal import attach_fake_media, decode_media
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return decode_media(attach_fake_media(d))
+
+
+def feats_wide_documents(spark, sf_dir):
+    """Kernel-based feature extraction through Spark (applyInPandas-free
+    mapInPandas path) over char-code series derived from documents —
+    rows-only (kernels are pinned against golden values in pytest)."""
+    from tsfeatures_spark.operators.features import features_wide
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias("tokens"),
+    )
+    return features_wide(
+        d, features=["statistics", "acf_features", "crossing_points", "entropy",
+                     "flat_spots", "stability", "lumpiness", "sparsity", "series_length"],
+        scale=False,
+    )
+
+
+def tok_rollup_tiers(spark, sf_dir):
+    """Token-table tier cascade (the engine core) on a small deterministic
+    table — rows-only here; per-window parity + SQL-merge equality are
+    pinned in tests/test_rollup.py."""
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.sources.generator import token_table
+
+    df = token_table(spark, n_docs=50, base_seed=42, partitions=8, mean_len=1500)
+    return rollup_tiers(df).drop("block")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 1-minute windowed statistics rollup over events at
+    sf0.001 (driver checks rows > 0, stable schema)."""
+    return ts_rollup_1m(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q_window_top_order": q_window_top_order,
+        "q_customers_without_orders": q_customers_without_orders,
+        "ts_stats_events": ts_stats_events,
+        "ts_sparsity_entropy_len": ts_sparsity_entropy_len,
+        "ts_crossing_points": ts_crossing_points,
+        "ts_stability": ts_stability,
+        "ts_lumpiness": ts_lumpiness,
+        "ts_acf1": ts_acf1,
+        "ts_rollup_1m": ts_rollup_1m,
+        "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
+        "ts_gapfill_locf": ts_gapfill_locf,
+        "m_pointwise_metrics": m_pointwise_metrics,
+        "m_mase": m_mase,
+        "m_rmsse": m_rmsse,
+        "m_mini_owa": m_mini_owa,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "emb_knn_bruteforce": emb_knn_bruteforce,
+        "emb_dup_pairs": emb_dup_pairs,
+        # rows-only (no SQL equivalent)
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "emb_ann_lsh": emb_ann_lsh,
+        "multimodal_decode": multimodal_decode,
+        "feats_wide_documents": feats_wide_documents,
+        "tok_rollup_tiers": tok_rollup_tiers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(0.000001 + sum(l_quantity), 4) as sum_qty,
+                   round(0.000001 + sum(l_extendedprice), 4) as sum_base_price,
+                   round(0.000001 + sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   round(0.000001 + avg(l_quantity), 4) as avg_qty,
+                   round(0.000001 + avg(l_extendedprice), 4) as avg_price,
+                   round(0.000001 + avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by 1, 2
+        """,
+        "q3_segment_revenue": """
+            select c_mktsegment,
+                   round(0.000001 + sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+                   count(distinct o_orderkey) as n_orders
+            from lineitem join orders on l_orderkey = o_orderkey
+                          join customer on o_custkey = c_custkey
+            group by 1
+        """,
+        "q5_nation_revenue": """
+            select r_name, n_name,
+                   round(0.000001 + sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+                          join customer on o_custkey = c_custkey
+                          join nation on c_nationkey = n_nationkey
+                          join region on n_regionkey = r_regionkey
+            group by 1, 2
+        """,
+        "q_window_top_order": """
+            select o_custkey, o_orderkey, round(0.000001 + o_totalprice, 4) as top_price
+            from (select *, row_number() over (partition by o_custkey
+                       order by o_totalprice desc, o_orderkey asc) as rk from orders)
+            where rk = 1
+        """,
+        "q_customers_without_orders": """
+            select c_mktsegment, count(*) as n_custs
+            from customer
+            where c_custkey not in (select o_custkey from orders)
+            group by 1
+        """,
+        "ts_stats_events": """
+            select event_type,
+                   round(0.000001 + sum(value), 4) as total_sum,
+                   round(0.000001 + avg(value), 4) as mean,
+                   round(0.000001 + var_samp(value), 4) as variance,
+                   round(0.000001 + quantile_cont(value, 0.5), 4) as median,
+                   round(0.000001 + quantile_cont(value, 0.025), 4) as p2point5,
+                   round(0.000001 + quantile_cont(value, 0.05), 4) as p5,
+                   round(0.000001 + quantile_cont(value, 0.25), 4) as p25,
+                   round(0.000001 + quantile_cont(value, 0.75), 4) as p75,
+                   round(0.000001 + quantile_cont(value, 0.95), 4) as p95,
+                   round(0.000001 + quantile_cont(value, 0.975), 4) as p97point5,
+                   round(0.000001 + max(value), 4) as max,
+                   round(0.000001 + min(value), 4) as min
+            from events group by 1
+        """,
+        "ts_sparsity_entropy_len": """
+            select event_type,
+                   round(0.000001 + avg((value = 0)::int)::double, 6) as sparsity,
+                   round(0.000001 + -sum(case when value > 0 then value * ln(value) end), 4) as count_entropy,
+                   count(*)::double as series_length
+            from events group by 1
+        """,
+        "ts_crossing_points": """
+            with med as (
+                select event_type, quantile_cont(value, 0.5) as m
+                from events group by 1
+            ), flagged as (
+                select e.event_type,
+                       (e.value <= m.m)::int as b,
+                       lag((e.value <= m.m)::int) over (partition by e.event_type
+                            order by e.ts, e.event_id) as lb
+                from events e join med m using (event_type)
+            )
+            select event_type, sum((b != lb)::int)::double as crossing_points
+            from flagged group by 1
+        """,
+        "ts_stability": """
+            with tiled as (
+                select event_type, value,
+                       cast(floor((row_number() over (partition by event_type
+                            order by ts, event_id) - 1) / 10) as bigint) as tile
+                from events
+            ), per_tile as (
+                select event_type, tile, avg(value) as v, count(*) as n
+                from tiled group by 1, 2
+            ), totals as (select event_type, count(*) as total from events group by 1)
+            select p.event_type,
+                   round(0.000001 + case when t.total < 20 then 0.0 else var_samp(p.v) end, 5) as stability
+            from per_tile p join totals t using (event_type)
+            where p.n = 10
+            group by p.event_type, t.total
+        """,
+        "ts_lumpiness": """
+            with tiled as (
+                select event_type, value,
+                       cast(floor((row_number() over (partition by event_type
+                            order by ts, event_id) - 1) / 10) as bigint) as tile
+                from events
+            ), per_tile as (
+                select event_type, tile, var_samp(value) as v, count(*) as n
+                from tiled group by 1, 2
+            ), totals as (select event_type, count(*) as total from events group by 1)
+            select p.event_type,
+                   round(0.000001 + case when t.total < 20 then 0.0 else var_samp(p.v) end, 5) as lumpiness
+            from per_tile p join totals t using (event_type)
+            where p.n = 10
+            group by p.event_type, t.total
+        """,
+        "ts_acf1": """
+            with stats as (select event_type, avg(value) as m from events group by 1),
+            lagged as (
+                select e.event_type, e.value, m.m,
+                       lag(e.value) over (partition by e.event_type
+                            order by e.ts, e.event_id) as lv
+                from events e join stats m using (event_type)
+            )
+            select event_type,
+                   round(0.000001 + sum(case when lv is not null then (value - m) * (lv - m) end)
+                         / sum((value - m) * (value - m)), 6) as x_acf1
+            from lagged group by 1
+        """,
+        "ts_rollup_1m": """
+            select event_type,
+                   cast(floor(epoch_us(ts) / 60000000) as bigint) as window_id,
+                   count(*) as n,
+                   round(0.000001 + sum(value), 4) as total_sum,
+                   round(0.000001 + avg(value), 4) as mean,
+                   round(0.000001 + var_samp(value), 2) as variance,
+                   round(0.000001 + min(value), 4) as vmin,
+                   round(0.000001 + max(value), 4) as vmax
+            from events group by 1, 2
+        """,
+        "ts_rollup_1h_cascade": """
+            select event_type,
+                   cast(floor(epoch_us(ts) / 3600000000) as bigint) as window_id,
+                   count(*) as n,
+                   round(0.000001 + sum(value), 4) as total_sum,
+                   round(0.000001 + avg(value), 3) as mean,
+                   round(0.000001 + var_samp(value), 2) as variance,
+                   round(0.000001 + min(value), 4) as vmin,
+                   round(0.000001 + max(value), 4) as vmax
+            from events group by 1, 2
+        """,
+        "ts_gapfill_locf": """
+            with per_w as (
+                select event_type,
+                       cast(floor(epoch_us(ts) / 600000000) as bigint) as window_id,
+                       avg(value) as mean
+                from events group by 1, 2
+            ), span as (
+                select event_type, min(window_id) as lo, max(window_id) as hi
+                from per_w group by 1
+            ), grid as (
+                select s.event_type, g.window_id
+                from span s, lateral (select unnest(generate_series(s.lo, s.hi)) as window_id) g
+            )
+            select g.event_type, g.window_id,
+                   (p.mean is null)::int as is_gap,
+                   round(0.000001 + last_value(p.mean ignore nulls) over (
+                       partition by g.event_type order by g.window_id
+                       rows between unbounded preceding and current row), 5) as mean_filled
+            from grid g left join per_w p using (event_type, window_id)
+        """,
+        "m_pointwise_metrics": f"""
+            with panel as ({_PANEL_SQL})
+            select unique_id,
+                   round(0.000001 + avg((y - y_hat) * (y - y_hat)), 5) as mse,
+                   round(0.000001 + sqrt(avg((y - y_hat) * (y - y_hat))), 5) as rmse,
+                   round(0.000001 + 100 * avg(abs(y - y_hat) / abs(y)), 4) as mape,
+                   round(0.000001 + 200 * avg(abs(y - y_hat) /
+                        (case when abs(y) + abs(y_hat) = 0 then 1e-3
+                              else abs(y) + abs(y_hat) end)), 4) as smape,
+                   round(0.000001 + avg(greatest(0.5 * (y - y_hat), -0.5 * (y - y_hat))), 5) as pinball_loss
+            from panel where y_hat is not null
+            group by 1
+        """,
+        "m_mase": f"""
+            with panel as ({_PANEL_SQL}),
+            counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
+            train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
+            test as (select p.* from panel p join counts c using (unique_id)
+                     where ds > cut and y_hat is not null),
+            scale as (
+                select unique_id, avg(abs(y - ly)) as s from (
+                    select unique_id, y, lag(y, 24) over (partition by unique_id order by ds) as ly
+                    from train) where ly is not null group by 1
+            )
+            select t.unique_id, round(0.000001 + 100 * avg(abs(t.y - t.y_hat)) / max(s.s), 4) as mase
+            from test t join scale s using (unique_id) group by 1
+        """,
+        "m_rmsse": f"""
+            with panel as ({_PANEL_SQL}),
+            counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
+            train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
+            test as (select p.* from panel p join counts c using (unique_id)
+                     where ds > cut and y_hat is not null),
+            scale as (
+                select unique_id, avg((y - ly) * (y - ly)) as s from (
+                    select unique_id, y, lag(y, 24) over (partition by unique_id order by ds) as ly
+                    from train) where ly is not null group by 1
+            )
+            select t.unique_id,
+                   round(0.000001 + 100 * sqrt(avg((t.y - t.y_hat) * (t.y - t.y_hat)) / max(s.s)), 4) as rmsse
+            from test t join scale s using (unique_id) group by 1
+        """,
+        "m_mini_owa": f"""
+            with panel as ({_PANEL_SQL}),
+            counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
+            train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
+            test as (select p.* from panel p join counts c using (unique_id)
+                     where ds > cut and y_hat is not null and y_bench is not null),
+            scale as (
+                select unique_id, avg(abs(y - ly)) as s from (
+                    select unique_id, y, lag(y, 24) over (partition by unique_id order by ds) as ly
+                    from train) where ly is not null group by 1
+            ),
+            m as (
+                select unique_id,
+                       avg(abs(y - y_hat)) as mae_m,
+                       200 * avg(abs(y - y_hat) / (case when abs(y) + abs(y_hat) = 0
+                            then 1e-3 else abs(y) + abs(y_hat) end)) as smape_m,
+                       avg(abs(y - y_bench)) as mae_b,
+                       200 * avg(abs(y - y_bench) / (case when abs(y) + abs(y_bench) = 0
+                            then 1e-3 else abs(y) + abs(y_bench) end)) as smape_b
+                from test group by 1
+            )
+            select m.unique_id,
+                   round(0.000001 + ((mae_m / mae_b) + (smape_m / smape_b)) / 2, 5) as mini_owa
+            from m join scale s using (unique_id)
+        """,
+        "doc_exact_dedup": """
+            with doubled as (
+                select doc_id::varchar as doc_id, text from documents
+                union all
+                select 'copy-' || doc_id::varchar, text from documents
+            ), groups as (
+                select md5(text) as fp, min(doc_id) as canonical_id, count(*) as dup_count
+                from doubled group by 1
+            )
+            select dup_count, count(*) as n_groups, min(canonical_id) as first_canonical
+            from groups group by 1
+        """,
+        "doc_token_counts": r"""
+            select doc_id::varchar as doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))::bigint as n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint as n_pieces,
+                   round(0.000001 + length(text)::double /
+                         greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) as chars_per_token
+            from documents
+        """,
+        "doc_quality": r"""
+            select doc_id::varchar as doc_id,
+                   length(text)::bigint as n_chars_m,
+                   round(0.000001 + len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1)::double, 5) as alpha_ratio,
+                   round(0.000001 + len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)::double, 5) as digit_ratio,
+                   round(0.000001 + len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1)::double, 5) as punct_ratio,
+                   round(0.000001 + length(text)::double /
+                         greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) as mean_word_len,
+                   round(0.000001 + least(length(text) / 500.0, 1.0) * 0.3
+                         + (len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1)::double) * 0.4
+                         + (1.0 - least((len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1)::double) * 4.0, 1.0)) * 0.2
+                         + (1.0 - least((len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)::double) * 4.0, 1.0)) * 0.1, 5) as quality_score
+            from documents
+        """,
+        "doc_lang_id": """
+            with t as (
+                select lang, ' ' || lower(text) || ' ' as s from documents
+            ), scores as (
+                select lang,
+                   ((length(s) - length(replace(s, ' the ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' and ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' of ', ''))) / 4.0
+                    + (length(s) - length(replace(s, ' to ', ''))) / 4.0)::double as score_en,
+                   ((length(s) - length(replace(s, ' der ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' und ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' die ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' nicht ', ''))) / 7.0)::double as score_de,
+                   ((length(s) - length(replace(s, ' le ', ''))) / 4.0
+                    + (length(s) - length(replace(s, ' la ', ''))) / 4.0
+                    + (length(s) - length(replace(s, ' et ', ''))) / 4.0
+                    + (length(s) - length(replace(s, ' les ', ''))) / 5.0)::double as score_fr,
+                   ((length(s) - length(replace(s, ' el ', ''))) / 4.0
+                    + (length(s) - length(replace(s, ' los ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' que ', ''))) / 5.0
+                    + (length(s) - length(replace(s, ' de la ', ''))) / 7.0)::double as score_es
+                from t
+            ), pred as (
+                -- first-wins argmax in alphabetical language order (matches
+                -- the Spark builder's strict-> replacement loop)
+                select lang,
+                       case
+                         when greatest(score_de, score_en, score_es, score_fr) <= 0 then 'und'
+                         when score_de >= score_en and score_de >= score_es and score_de >= score_fr then 'de'
+                         when score_en >= score_es and score_en >= score_fr then 'en'
+                         when score_es >= score_fr then 'es'
+                         else 'fr'
+                       end as lang_pred
+                from scores
+            )
+            select lang, lang_pred, count(*) as n_docs from pred group by 1, 2
+        """,
+        "doc_fingerprint": r"""
+            select doc_id::varchar as doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fingerprint
+            from documents
+        """,
+        "doc_ngram_jaccard": r"""
+            with g as (
+                select doc_id::varchar as doc_id, lang,
+                       list_distinct([array_to_string(words[i:i+2], ' ')
+                           for i in range(1, greatest(len(words) - 2, 1) + 1)]) as grams
+                from (select doc_id, lang,
+                             regexp_split_to_array(lower(text), '\s+') as words
+                      from documents)
+            ), ex as (
+                select doc_id, lang, len(grams) as n_grams, unnest(grams) as gram from g
+            ), shared as (
+                select l.doc_id as id_a, r.doc_id as id_b,
+                       l.n_grams as na, r.n_grams as nb, count(*) as shared
+                from ex l join ex r on l.gram = r.gram and l.lang = r.lang
+                where l.doc_id < r.doc_id
+                group by 1, 2, 3, 4
+            )
+            select id_a, id_b,
+                   round(0.000001 + shared / (na + nb - shared)::double, 5) as jaccard
+            from shared
+            where shared / (na + nb - shared)::double >= 0.05
+        """,
+        "emb_knn_bruteforce": """
+            with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+                       from embeddings where vec_id < 10),
+            c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            sims as (
+                select q.query_id, c.neighbor_id,
+                       list_dot_product(q.qv, c.cv) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) as cos
+                from c, q where c.neighbor_id != q.query_id
+            ), ranked as (
+                select query_id, neighbor_id, cos,
+                       row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+                from sims
+            )
+            select query_id, neighbor_id, rank, round(0.000001 + cos, 5) as cos_sim
+            from ranked where rank <= 5
+        """,
+        "emb_dup_pairs": """
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
+            select l.vec_id as id_a, r.vec_id as id_b,
+                   round(0.000001 + list_dot_product(l.e, r.e) /
+                        (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 5) as cos_sim
+            from v l, v r
+            where l.vec_id < r.vec_id
+              and list_dot_product(l.e, r.e) /
+                  (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))) >= 0.9
+        """,
+    }

@@ -1,0 +1,118 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "rollup": {...}}
+
+Phases:
+1. Token-table tier-cascade rollup (the engine's headline): read the cached
+   deterministic token table (generated once under .data/), run the
+   raw->1m->1h->1d single-scan cascade, write parquet snapshots.
+   Headline number = tokens/sec ingested end-to-end.
+2. Representative SQL/operator queries over $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  SPARK_GRAFT_BENCH_DOCS (default 15000 -> ~60M tokens)
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N): run this
+twice, SPARK_GRAFT_CPUS=8 then 32, same input — see tools/run_scaling.py
+which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "15000"))
+DATA_DIR = os.path.join(REPO, ".data")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "ts_stats_events",
+    "ts_crossing_points",
+    "ts_rollup_1m",
+    "ts_rollup_1h_cascade",
+    "ts_gapfill_locf",
+    "m_pointwise_metrics",
+    "doc_quality",
+    "doc_ngram_jaccard",
+    "emb_knn_bruteforce",
+    "dedup_minhash_lsh",
+]
+
+
+def ensure_token_table(spark, path: str) -> None:
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    from tsfeatures_spark.sources.generator import write_token_table
+
+    write_token_table(spark, path, n_docs=N_DOCS, base_seed=42, buckets=max(CPUS * 2, 16))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tok_path = os.path.join(DATA_DIR, f"tokens_bench_{N_DOCS}")
+    ensure_token_table(spark, tok_path)
+    toks = spark.read.parquet(tok_path)
+    total_tokens = toks.agg(F.sum("n_tok")).collect()[0][0]
+
+    out_path = os.path.join(DATA_DIR, "rollup_out")
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    t0 = time.time()
+    rollup_tiers(toks).write.mode("overwrite").partitionBy("tier").parquet(out_path)
+    rollup_sec = time.time() - t0
+    tokens_per_sec = total_tokens / rollup_sec
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    timings["rollup_cascade"] = round(rollup_sec, 3)
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup+query wall time (tokens/sec in rollup.tokens_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "rollup": {
+                    "n_docs": N_DOCS,
+                    "tokens": int(total_tokens),
+                    "sec": round(rollup_sec, 3),
+                    "tokens_per_sec": int(tokens_per_sec),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Delta-of-delta + zigzag varint block codec for integer token windows.
+
+Lossless: ``decode(encode(x)) == x`` exactly (the engine's token-array
+equality invariant, BASELINE.json input_hint). Fully vectorized NumPy —
+no per-element Python in the hot path.
+
+Layout (little-endian):
+  [u8 version=1][u64 n][i64 first][i64 first_delta][varint-zigzag dd...]
+n==0 -> header only; n==1 -> first only is meaningful.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = 1
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+def varint_encode(u: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    u = u.astype(np.uint64, copy=False)
+    n = u.shape[0]
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = u.copy()
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while np.any(tmp):
+        more = tmp > 0
+        nbytes[more] += 1
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # write byte position j of every value that has >= j+1 bytes
+    max_b = int(nbytes.max())
+    for j in range(max_b):
+        sel = nbytes > j
+        vals = (u[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1) > j
+        out[starts[sel] + j] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Vectorized LEB128 decode of ``count`` values."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)[:count]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    nbytes = ends - starts + 1
+    out = np.zeros(count, dtype=np.uint64)
+    max_b = int(nbytes.max())
+    for j in range(max_b):
+        sel = nbytes > j
+        out[sel] |= (b[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return out
+
+
+def dod_encode(x: np.ndarray) -> bytes:
+    """Delta-of-delta encode an int array (token window)."""
+    x = np.asarray(x).astype(np.int64, copy=False)
+    n = x.shape[0]
+    first = int(x[0]) if n >= 1 else 0
+    first_delta = int(x[1] - x[0]) if n >= 2 else 0
+    header = struct.pack("<BQqq", _MAGIC, n, first, first_delta)
+    if n <= 2:
+        return header
+    d = np.diff(x)
+    dd = np.diff(d)
+    return header + varint_encode(zigzag_encode(dd))
+
+
+def dod_decode(buf: bytes) -> np.ndarray:
+    """Inverse of dod_encode; returns int64 array."""
+    magic, n, first, first_delta = struct.unpack_from("<BQqq", buf, 0)
+    assert magic == _MAGIC, "bad block magic"
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    dd = zigzag_decode(varint_decode(buf[struct.calcsize("<BQqq"):], n - 2)) if n > 2 else np.empty(0, dtype=np.int64)
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = first_delta
+    if n > 2:
+        deltas[1:] = first_delta + np.cumsum(dd)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    out[1:] = first + np.cumsum(deltas)
+    return out

@@ -1,0 +1,9 @@
+from .sql_features import (  # noqa: F401
+    acf1_df,
+    count_entropy_agg,
+    crossing_points_df,
+    series_length_agg,
+    sparsity_agg,
+    statistics_aggs,
+    tiled_var_df,
+)

@@ -1,0 +1,105 @@
+"""SQL-native (Catalyst) implementations of the cheap feature kernels.
+
+These are the Tier-A features whose math is expressible with built-in
+pyspark.sql.functions — they run JVM-side inside WholeStageCodegen with
+partial aggregation, no Python worker at all. Semantics match the NumPy
+kernels (ddof=1, linear-interpolation percentiles, median-crossing rule,
+trailing-partial-tile drop) — see SURVEY.md §2.1 "Spark primitive" column.
+
+Each builder returns a list of aliased Columns for ``groupBy(...).agg``, or
+a DataFrame transformer for the windowed ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def statistics_aggs(col: str = "y") -> list[Column]:
+    """Reference ``statistics`` kernel (tsfeatures.py:840-881) as native aggs.
+    ``percentile`` (exact, linear interpolation) == np.quantile — NOT
+    percentile_approx (SURVEY.md §2.6.11)."""
+    c = F.col(col)
+    return [
+        F.sum(c).alias("total_sum"),
+        F.avg(c).alias("mean"),
+        F.var_samp(c).alias("variance"),
+        F.percentile(c, F.lit(0.5)).alias("median"),
+        F.percentile(c, F.lit(0.025)).alias("p2point5"),
+        F.percentile(c, F.lit(0.05)).alias("p5"),
+        F.percentile(c, F.lit(0.25)).alias("p25"),
+        F.percentile(c, F.lit(0.75)).alias("p75"),
+        F.percentile(c, F.lit(0.95)).alias("p95"),
+        F.percentile(c, F.lit(0.975)).alias("p97point5"),
+        F.max(c).alias("max"),
+        F.min(c).alias("min"),
+    ]
+
+
+def sparsity_agg(col: str = "y") -> Column:
+    """mean(x == 0) — tsfeatures.py:596-612."""
+    return F.avg((F.col(col) == 0).cast("double")).alias("sparsity")
+
+
+def count_entropy_agg(col: str = "y") -> Column:
+    """-sum(x * ln x | x > 0) — tsfeatures.py:136-154."""
+    c = F.col(col)
+    return (-F.sum(F.when(c > 0, c * F.log(c)))).alias("count_entropy")
+
+
+def series_length_agg() -> Column:
+    return F.count(F.lit(1)).cast("double").alias("series_length")
+
+
+def crossing_points_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """Median-crossing count per series, pure SQL: per-key median join +
+    lag() window — tsfeatures.py:156-178 semantics."""
+    med = df.groupBy(*keys).agg(F.percentile(F.col(col), F.lit(0.5)).alias("_med"))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    j = df.join(F.broadcast(med), keys)
+    below = (F.col(col) <= F.col("_med")).cast("int")
+    lagged = F.lag(below).over(w)
+    return (
+        j.withColumn("_b", below)
+        .withColumn("_lb", lagged)
+        .groupBy(*keys)
+        .agg(F.sum((F.col("_b") != F.col("_lb")).cast("int")).cast("double").alias("crossing_points"))
+    )
+
+
+def tiled_var_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y",
+                 width: int = 10, inner: str = "mean") -> DataFrame:
+    """stability (inner='mean') / lumpiness (inner='var') as a two-level
+    native aggregate — tsfeatures.py:448-479/614-645: tiles of ``width``
+    rows in series order, trailing partial tile dropped, outer var_samp;
+    0 when n < 2*width. This two-level shape is the same cascade template
+    the tier rollup uses (SURVEY.md §2.1)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    name = "stability" if inner == "mean" else "lumpiness"
+    tiled = df.withColumn("_tile", ((F.row_number().over(w) - 1) / width).cast("long"))
+    per_tile = tiled.groupBy(*keys, "_tile").agg(
+        (F.avg(F.col(col)) if inner == "mean" else F.var_samp(F.col(col))).alias("_v"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        per_tile.where(F.col("_n") == width)
+        .groupBy(*keys)
+        .agg(F.var_samp("_v").alias(name))
+        .join(F.broadcast(totals), keys)
+        .withColumn(name, F.when(F.col("_total") < 2 * width, F.lit(0.0)).otherwise(F.col(name)))
+        .drop("_total")
+    )
+
+
+def acf1_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """Biased lag-1 autocorrelation per series, window-native:
+    sum((x_t-m)(x_{t+1}-m)) / sum((x_t-m)^2) — statsmodels acf parity."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    lagged = df.withColumn("_lag", F.lag(F.col(col)).over(w))
+    stats = df.groupBy(*keys).agg(F.avg(F.col(col)).alias("_m"))
+    j = lagged.join(F.broadcast(stats), keys)
+    num = F.sum((F.col(col) - F.col("_m")) * (F.col("_lag") - F.col("_m")))
+    den = F.sum((F.col(col) - F.col("_m")) * (F.col(col) - F.col("_m")))
+    return j.groupBy(*keys).agg((num / den).alias("x_acf1"))

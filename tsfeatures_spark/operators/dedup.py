@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four families, each scale-minded:
+- exact:       hash-groupBy (one shuffle on a 16-byte key, partial-agg)
+- minhash LSH: shingle -> k minhashes -> b bands -> bucket self-join; only
+               same-bucket pairs are candidates (no O(n^2))
+- simhash:     64-bit signature, banded hamming join
+- ngram jaccard: exact set-overlap join for candidate verification —
+               pure SQL (posexplode + groupBy), no UDF
+
+At 100 TB the LSH band join is the scale path: bucket keys are
+(band_id, band_hash), so the shuffle is uniform unless a bucket is hot —
+callers can salt by appending ``pmod(xxhash64(doc_id), s)`` for pathological
+corpora (boilerplate-heavy crawls).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: fingerprint -> canonical id + count."""
+    return (
+        df.withColumn("fp", F.md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """Stable 61-bit base hashes of character shingles (FNV-1a, no Python
+    ``hash`` — must be deterministic across workers)."""
+    s = text.lower()
+    if len(s) < shingle:
+        s = s + " " * (shingle - len(s))
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    n = len(b) - shingle + 1
+    if n <= 0:
+        n, b = 1, np.resize(b, shingle)
+    # vectorized polynomial rolling hash over shingle windows
+    base = np.uint64(1099511628211)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(shingle):
+        acc = acc * base + b[j : j + n]
+    return np.unique(acc & np.uint64(_MERSENNE))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle: int = 5, seed: int = 42) -> DataFrame:
+    """(doc_id, sig: array<long>) — k-permutation minhash via universal
+    hashing ((a*x+b) mod p), vectorized NumPy inside mapInPandas."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                hs = _shingle_hashes(t or "", shingle)
+                # (k, n) mod-p universal hashes -> row mins
+                m = ((A[:, None] * hs[None, :] + B[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
+                sigs.append(m.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} string, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16, shingle: int = 5,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + estimated jaccard
+    (fraction of agreeing minhashes). Returns (id_a, id_b, est_jaccard)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed).cache()
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(*[F.hash(F.slice("sig", i * rows + 1, rows)).alias(f"b{i}") for i in range(bands)])
+        ).alias("band_id", "band_hash"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_id", "band_hash"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select("id_a", "id_b", (agree / F.lit(num_hashes)).cast("double").alias("est_jaccard"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       shingle: int = 4) -> DataFrame:
+    """64-bit SimHash over character shingles (sign of per-bit vote)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                hs = _shingle_hashes(t or "", shingle)
+                # spread 61-bit hashes to 64 bits deterministically
+                h64 = hs * np.uint64(0x9E3779B97F4A7C15)
+                bits = (h64[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for k in range(64):
+                    if votes[k] > 0:
+                        sig |= np.uint64(1) << np.uint64(k)
+                out.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} string, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    banding (any identical band => candidate; guarantees recall for
+    distance <= 3)."""
+    sig = simhash_signatures(df, text_col, id_col).cache()
+    banded = sig.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+            for i in range(4)
+        ])).alias("band_id", "band_val"),
+    )
+    pairs = (
+        banded.alias("l").join(banded.alias("r"), ["band_id", "band_val"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, block_cols: list[str] | None = None,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """EXACT word-n-gram jaccard between documents sharing a block key —
+    pure SQL (explode + self-join + groupBy), no UDF, so it has a clean
+    DuckDB oracle. Block on e.g. ['lang'] to bound the pair count."""
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    base_cols = [id_col] + (block_cols or [])
+    g = df.select(*base_cols, grams.alias("grams"), F.size(grams).alias("n_grams"))
+    ex = g.select(*base_cols, "n_grams", F.explode("grams").alias("gram"))
+    join_keys = ["gram"] + (block_cols or [])
+    shared = (
+        ex.alias("l").join(ex.alias("r"), join_keys)
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                 F.col("l.n_grams").alias("na"), F.col("r.n_grams").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return shared.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= min_jaccard)
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                        threshold: float = 0.95, block_bits: int = 0, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+    block_bits=0 -> exact all-pairs (test scale); block_bits=k -> LSH
+    hyperplane prefilter (scale path, recall < 1)."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    d = df.select(F.col(id_col), F.col(vec_col))
+    if block_bits > 0:
+        d = d.withColumn("_bkt", hyperplane_bucket(vec_col, block_bits, seed, _dim_of(df, vec_col)))
+        cond = [F.col("l._bkt") == F.col("r._bkt")]
+    else:
+        cond = []
+    l, r = d.alias("l"), d.alias("r")
+    pairs = l.join(r, cond if cond else None) if cond else l.crossJoin(r)
+    pairs = pairs.where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    cos = cosine_expr(f"l.{vec_col}", f"r.{vec_col}")
+    return pairs.select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"), cos.alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])

@@ -1,0 +1,100 @@
+"""Spark-native equivalents of the reference's two entry points
+(tsfeatures / tsfeatures_wide, reference tsfeatures.py:930-976 / 1001-1039).
+
+- ``features_wide``: one row = one whole series (our primary layout and the
+  token table's shape) -> ``mapInPandas``: NO shuffle, no sort — the plan is
+  Scan -> MapInPandas, vs the reference's one-process-task-per-series pool.
+- ``features_long``: long panel (unique_id, ds, y) -> ``groupBy(id).
+  applyInPandas``: one hash Exchange (unavoidable — rows of a series must
+  meet), sort by ds inside the group, then the same kernel pass.
+
+Output: one row per series, one nullable double column per feature field,
+schema fixed at plan time from the kernel registry (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..kernels import DEFAULT_FEATURES, compute_features, output_fields
+
+
+def _schema(id_col: str, features: List[str]) -> str:
+    fields = output_fields(features)
+    return ", ".join([f"{id_col} string"] + [f"`{f}` double" for f in fields])
+
+
+def features_wide(
+    df,
+    features: Optional[List[str]] = None,
+    scale: bool = True,
+    id_col: str = "doc_id",
+    value_col: str = "tokens",
+    seasonality_col: Optional[str] = None,
+    freq: int = 1,
+    batch_rows: int = 256,
+):
+    """Per-series features over a wide table (one row = one series).
+
+    Parity: tsfeatures_wide (reference tsfeatures.py:1001-1039); seasonality
+    is per-row when ``seasonality_col`` is given, else the ``freq`` literal
+    (token series are fixed-interval by construction — SURVEY.md §1.1).
+    """
+    names = features if features is not None else DEFAULT_FEATURES
+    fields = output_fields(names)
+    schema = _schema(id_col, names)
+    sel = [id_col, value_col] + ([seasonality_col] if seasonality_col else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        for pdf in batches:
+            out_rows = []
+            ids = []
+            for i in range(len(pdf)):
+                y = np.asarray(pdf[value_col].iloc[i], dtype=float)
+                m = int(pdf[seasonality_col].iloc[i]) if seasonality_col else int(freq)
+                vals = compute_features(y, m, names, scale=scale)
+                out_rows.append([vals.get(f, np.nan) for f in fields])
+                ids.append(str(pdf[id_col].iloc[i]))
+                if len(out_rows) >= batch_rows:
+                    yield pd.DataFrame([[i_] + r for i_, r in zip(ids, out_rows)], columns=[id_col] + fields)
+                    out_rows, ids = [], []
+            if out_rows:
+                yield pd.DataFrame([[i_] + r for i_, r in zip(ids, out_rows)], columns=[id_col] + fields)
+
+    return df.select(*sel).mapInPandas(run, schema=schema)
+
+
+def features_long(
+    df,
+    freq: int,
+    features: Optional[List[str]] = None,
+    scale: bool = True,
+    id_col: str = "unique_id",
+    time_col: str = "ds",
+    value_col: str = "y",
+):
+    """Per-series features over a long panel (unique_id, ds, y).
+
+    Parity: tsfeatures (reference tsfeatures.py:930-976). One shuffle on the
+    series key; rows sorted by ``time_col`` inside each group (the reference
+    assumes pre-sorted input; we make it explicit for determinism).
+    """
+    names = features if features is not None else DEFAULT_FEATURES
+    fields = output_fields(names)
+    schema = _schema(id_col, names)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        y = pdf.sort_values(time_col)[value_col].to_numpy(dtype=float)
+        vals = compute_features(y, int(freq), names, scale=scale)
+        return pd.DataFrame([[str(key[0])] + [vals.get(f, np.nan) for f in fields]], columns=[id_col] + fields)
+
+    return df.select(id_col, time_col, value_col).groupBy(id_col).applyInPandas(run, schema=schema)

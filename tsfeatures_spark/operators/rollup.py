@@ -1,0 +1,274 @@
+"""Tier-cascade rollup: raw -> 1m -> 1h -> 1d continuous aggregates.
+
+The engine's throughput core. Each input row is one whole series
+(doc_id, tokens:array<int32>) — self-contained — so the entire cascade is a
+single ``mapInPandas`` scan with ZERO shuffle: no Exchange appears in the
+physical plan (the reference pays one process-pool task per series,
+tsfeatures.py:970-971; we pay one Arrow batch per ~64 docs).
+
+Per (doc, tier-window) we emit:
+- algebraic state: n, total_sum, vmin, vmax, mean, m2 (Chan-mergeable)
+- holistic north-star features (BASELINE.json): x_acf1, x_acf10,
+  crossing_points, flat_spots, entropy, stability, lumpiness — computed
+  from raw, vectorized ACROSS windows (one rfft / one median call per doc
+  per tier, not per window)
+- a compressed block: 1m = lossless delta-of-delta of the window's raw
+  tokens (token-array equality invariant); 1h/1d = Gorilla-XOR of the
+  child tier's per-window means (the downsampled series), plus sha256
+  digest for the lineage table.
+
+``merge_algebraic`` re-derives a higher tier's algebraic columns from the
+stored lower tier with PURE Spark SQL (no UDF): Chan/parallel-variance
+combine — this is the incremental-maintenance path a 10^12-row deployment
+uses so raw data is touched exactly once.
+
+Feature parity: each per-window value equals
+``kernels.compute_features(window_tokens, freq=1, scale=False)`` — pinned
+by tests/test_rollup.py against the NumPy kernels directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from ..compression import dod_encode, xor_encode
+from ..kernels import compute_features
+
+TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
+TIER_ORDER = ["1m", "1h", "1d"]
+
+HOLISTIC_FIELDS = [
+    "x_acf1", "x_acf10", "crossing_points", "flat_spots", "entropy",
+    "stability", "lumpiness",
+]
+
+ROLLUP_SCHEMA = (
+    "tier string, doc_id string, source string, window_id long, n int, "
+    "total_sum double, vmin double, vmax double, mean double, m2 double, "
+    "variance double, x_acf1 double, x_acf10 double, crossing_points double, "
+    "flat_spots double, entropy double, stability double, lumpiness double, "
+    "block binary, block_digest string"
+)
+
+_KERNEL_FEATURES = ["statistics", "acf_features", "crossing_points",
+                    "flat_spots", "entropy", "stability", "lumpiness"]
+
+
+def _xlogx2(p: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(p)
+    nz = p > 0
+    out[nz] = p[nz] * np.log2(p[nz])
+    return out
+
+
+def window_features_matrix(X: np.ndarray) -> dict:
+    """North-star features for every row of X (nw windows x W ticks),
+    vectorized across windows. Exactly matches the per-window kernels
+    (freq=1, scale=False)."""
+    X = np.asarray(X, dtype=np.float64)
+    nw, W = X.shape
+    out: dict = {}
+    s = X.sum(axis=1)
+    mean = s / W
+    xd = X - mean[:, None]
+    m2 = (xd * xd).sum(axis=1)
+    out["n"] = np.full(nw, W, dtype=np.int32)
+    out["total_sum"] = s
+    out["vmin"] = X.min(axis=1)
+    out["vmax"] = X.max(axis=1)
+    out["mean"] = mean
+    out["m2"] = m2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["variance"] = m2 / (W - 1)
+        # --- biased ACF lags 1..10 (statsmodels acf fft=False parity)
+        denom = m2.copy()
+        denom[denom == 0] = np.nan
+        acfs = np.empty((10, nw))
+        for k in range(1, 11):
+            acfs[k - 1] = (xd[:, :-k] * xd[:, k:]).sum(axis=1) / denom
+        out["x_acf1"] = acfs[0]
+        out["x_acf10"] = (acfs**2).sum(axis=0) if W > 10 else np.full(nw, np.nan)
+        # --- crossing_points (median crossings)
+        med = np.median(X, axis=1)
+        ab = X <= med[:, None]
+        out["crossing_points"] = (ab[:, 1:] ^ ab[:, :-1]).sum(axis=1).astype(float)
+        # --- flat_spots: pd.cut(bins=10, include_lowest=True) semantics
+        lo = out["vmin"]
+        hi = out["vmax"]
+        rngv = hi - lo
+        # pd.cut: equal min/max -> range padded by .1% each side (or ±.001)
+        adj_eq = np.where(lo == 0, 0.001, np.abs(lo) * 0.001)
+        lo_e = np.where(rngv == 0, lo - adj_eq, lo)
+        hi_e = np.where(rngv == 0, hi + adj_eq, hi)
+        edges = lo_e[:, None] + (hi_e - lo_e)[:, None] * (np.arange(11) / 10.0)
+        edges[:, 0] -= (hi_e - lo_e) * 0.001  # left edge pushed out (right-closed bins)
+        codes = (X[:, :, None] > edges[:, None, :]).sum(axis=2) - 1
+        codes = np.clip(codes, 0, 9)
+        run_best = np.ones(nw)
+        run_cur = np.ones(nw)
+        for t in range(1, W):
+            same = codes[:, t] == codes[:, t - 1]
+            run_cur = np.where(same, run_cur + 1, 1.0)
+            run_best = np.maximum(run_best, run_cur)
+        out["flat_spots"] = run_best
+        # --- spectral entropy (antropy/scipy periodogram parity)
+        spec = np.abs(np.fft.rfft(xd, axis=1)) ** 2 / W
+        if W % 2 == 0:
+            spec[:, 1:-1] *= 2.0
+        else:
+            spec[:, 1:] *= 2.0
+        tot = spec.sum(axis=1, keepdims=True)
+        dead = ~(tot[:, 0] > 0)  # constant window -> nan (kernel parity)
+        tot[dead] = np.nan
+        p = spec / tot
+        ent = -_xlogx2(p).sum(axis=1) / np.log2(p.shape[1])
+        ent[dead] = np.nan
+        out["entropy"] = ent
+        # --- stability / lumpiness (freq=1 -> width 10; W % 10 == 0 for all tiers)
+        assert W % 10 == 0
+        tiles = X.reshape(nw, W // 10, 10)
+        tmean = tiles.mean(axis=2)
+        tvar = tiles.var(axis=2, ddof=1)
+        out["stability"] = tmean.var(axis=1, ddof=1)
+        out["lumpiness"] = tvar.var(axis=1, ddof=1)
+    return out
+
+
+def _partial_window_row(xw: np.ndarray) -> dict:
+    """Trailing partial window: exact per-window kernel path (guards for
+    short n differ per feature; delegate to the reference-parity kernels)."""
+    n = len(xw)
+    f = compute_features(xw, freq=1, features=_KERNEL_FEATURES, scale=False)
+    return {
+        "n": n,
+        "total_sum": f["total_sum"],
+        "vmin": f["min"],
+        "vmax": f["max"],
+        "mean": f["mean"],
+        "m2": f["variance"] * (n - 1) if n > 1 else 0.0,
+        "variance": f["variance"],
+        "x_acf1": f["x_acf1"],
+        "x_acf10": f["x_acf10"],
+        "crossing_points": f["crossing_points"],
+        "flat_spots": f["flat_spots"],
+        "entropy": f["entropy"],
+        "stability": f["stability"],
+        "lumpiness": f["lumpiness"],
+    }
+
+
+def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
+               tiers: List[str] = TIER_ORDER) -> dict[str, dict]:
+    """All tier rows for one doc. Returns {tier: columns-dict}."""
+    tokens = np.asarray(tokens, dtype=np.int64)
+    n = len(tokens)
+    xf = tokens.astype(np.float64)
+    results: dict[str, dict] = {}
+    child_means: dict[str, np.ndarray] = {}
+    for tier in tiers:
+        W = TIERS[tier]
+        nw_full = n // W
+        tail = n - nw_full * W
+        nw = nw_full + (1 if tail else 0)
+        if nw_full:
+            feats = window_features_matrix(xf[: nw_full * W].reshape(nw_full, W))
+        else:
+            feats = {k: np.empty(0) for k in
+                     ["n", "total_sum", "vmin", "vmax", "mean", "m2", "variance"] + HOLISTIC_FIELDS}
+        rows = {k: list(np.asarray(v, dtype=float)) for k, v in feats.items()}
+        rows["n"] = [int(v) for v in feats["n"]]
+        if tail:
+            pr = _partial_window_row(xf[nw_full * W :])
+            for k in rows:
+                rows[k].append(pr[k])
+        # blocks
+        blocks: list[bytes] = []
+        if tier == "1m":
+            for w in range(nw):
+                blocks.append(dod_encode(tokens[w * W : (w + 1) * W]))
+        else:
+            child_tier = "1m" if tier == "1h" else "1h"
+            cm = child_means[child_tier]
+            ratio = W // TIERS[child_tier]
+            for w in range(nw):
+                blocks.append(xor_encode(cm[w * ratio : (w + 1) * ratio]))
+        digests = [hashlib.sha256(b).hexdigest() for b in blocks]
+        results[tier] = {
+            "tier": [tier] * nw,
+            "doc_id": [doc_id] * nw,
+            "source": [source] * nw,
+            "window_id": list(range(nw)),
+            **rows,
+            "block": blocks,
+            "block_digest": digests,
+        }
+        child_means[tier] = np.asarray(rows["mean"], dtype=np.float64)
+    return results
+
+
+def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64):
+    """raw token table -> all-tier rollup DataFrame in ONE mapInPandas scan
+    (no shuffle; AQE/Catalyst see a simple Scan -> MapInPandas plan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        for pdf in batches:
+            acc: list[pd.DataFrame] = []
+            for _, row in pdf.iterrows():
+                toks = np.asarray(row["tokens"])
+                per_tier = rollup_doc(row["doc_id"], row["source"], toks, tiers)
+                for tier in tiers:
+                    acc.append(pd.DataFrame(per_tier[tier]))
+                if len(acc) >= batch_docs * len(tiers):
+                    yield pd.concat(acc, ignore_index=True)
+                    acc = []
+            if acc:
+                yield pd.concat(acc, ignore_index=True)
+
+    cols = df.columns
+    needed = [c for c in ("doc_id", "tokens", "source") if c in cols]
+    return df.select(*needed).mapInPandas(run, schema=ROLLUP_SCHEMA)
+
+
+def merge_algebraic(tier_df, from_tier: str, to_tier: str):
+    """Derive ``to_tier`` algebraic columns from stored ``from_tier`` rows
+    with pure Spark SQL (Chan parallel-variance combine). No Python, no
+    UDF — partial aggregation and AQE handle it; at 10^12 scale this is the
+    only pass that touches the lower tier, raw stays untouched.
+
+    Returns columns: doc_id, window_id, n, total_sum, vmin, vmax, mean,
+    m2, variance.
+    """
+    from pyspark.sql import functions as F
+
+    ratio = TIERS[to_tier] // TIERS[from_tier]
+    child = tier_df.where(F.col("tier") == from_tier).select(
+        "doc_id", (F.col("window_id") / ratio).cast("long").alias("window_id"),
+        "n", "total_sum", "vmin", "vmax", "mean", "m2",
+    )
+    # two-pass Chan combine: the naive sum(n*mean^2) - (sum(n*mean))^2/N form
+    # cancels catastrophically when |mean| >> stddev; computing the grand
+    # mean first keeps every term at m2 magnitude.
+    keys = ["doc_id", "window_id"]
+    g1 = child.groupBy(*keys).agg(
+        F.sum("n").alias("n"), F.sum("total_sum").alias("total_sum"),
+        F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
+    ).withColumn("mean", F.col("total_sum") / F.col("n"))
+    dev = F.col("c.mean") - F.col("g.mean")
+    g2 = (
+        child.alias("c")
+        .join(g1.alias("g"), keys)
+        .groupBy(*[F.col(f"g.{k}").alias(k) for k in keys])
+        .agg((F.sum("c.m2") + F.sum(F.col("c.n") * dev * dev)).alias("m2"))
+    )
+    return (
+        g1.join(g2, keys)
+        .withColumn("variance", F.try_divide(F.col("m2"), F.col("n") - 1))
+        .select("doc_id", "window_id", "n", "total_sum", "vmin", "vmax", "mean", "m2", "variance")
+    )

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_topk``: exact cosine top-k. The query side is broadcast (small);
+  the corpus scan is embarrassingly parallel; top-k via window row_number
+  (per-partition partial top-k handled by AQE/codegen). This is the
+  correctness baseline.
+- ``lsh_topk``: random-hyperplane bucketed variant — the 100 TB path:
+  corpus bucketed once (write-time), queries probe only their bucket
+  (+ optional multi-probe neighbors), exact rerank inside the bucket.
+
+All dot products are built-in higher-order functions (zip_with +
+aggregate) — JVM-side, no Python worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+    Self-matches excluded. Queries broadcast."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(bits, dim))
+
+
+def hyperplane_bucket(vec_col: str, bits: int, seed: int, dim: int) -> Column:
+    """Sign-bit bucket id from ``bits`` fixed random hyperplanes (literal
+    plane arrays — identical on driver and executors, no RNG at runtime)."""
+    planes = _planes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        lit_plane = F.array(*[F.lit(float(v)) for v in planes[b]])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """Bucketed ANN: join on hyperplane bucket, exact cosine rerank inside.
+    Recall < 1 by construction; bits trades recall vs bucket size."""
+    dim = len(corpus.select(vec_col).first()[0])
+    bkt = hyperplane_bucket(vec_col, bits, seed, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bkt.alias("_bkt"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bkt.alias("_bkt"))
+    j = c.join(F.broadcast(q), "_bkt").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
