@@ -1,0 +1,68 @@
+"""Checkpoint/resume invariant (FIXTURES.md §6c): kill the rollup job
+mid-run, restart with resume=True, and the final tier table + lineage must
+equal an uninterrupted run's — plus snapshot/time-travel semantics of the
+Iceberg-lite catalog."""
+
+import numpy as np
+import pytest
+
+from tsfeatures_spark.plans import ResumableRollupJob, bootstrap_tokens
+from tsfeatures_spark.sources.catalog import IcebergLiteCatalog
+
+
+def _table_state(spark, catalog, table):
+    df = catalog.read(spark, table)
+    pdf = df.select("doc_id", "tier", "window_id", "block_digest").toPandas()
+    return pdf.sort_values(["doc_id", "tier", "window_id"]).reset_index(drop=True)
+
+
+def test_kill_resume_equals_single_run(spark, tmp_path):
+    # uninterrupted reference run
+    cat_a = IcebergLiteCatalog(str(tmp_path / "wh_a"))
+    bootstrap_tokens(spark, cat_a, "tokens", n_docs=40, n_buckets=8, mean_len=500)
+    job_a = ResumableRollupJob(spark, cat_a, "tokens", n_buckets=8, waves=4)
+    res_a = job_a.run()
+    assert res_a["waves_run"] == 4
+
+    # killed-and-resumed run over the identical input
+    cat_b = IcebergLiteCatalog(str(tmp_path / "wh_b"))
+    bootstrap_tokens(spark, cat_b, "tokens", n_docs=40, n_buckets=8, mean_len=500)
+    job_b = ResumableRollupJob(spark, cat_b, "tokens", n_buckets=8, waves=4)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        job_b.run(fail_after_waves=2)
+    assert len(job_b.completed_buckets()) == 4  # 2 of 4 waves committed
+    res_b = job_b.run(resume=True)  # picks up the remaining waves only
+    assert res_b["waves_run"] == 2
+
+    a = _table_state(spark, cat_a, "tiers")
+    b = _table_state(spark, cat_b, "tiers")
+    assert a.equals(b), "resumed run diverged from uninterrupted run"
+
+    # lineage digests identical per bucket
+    lin_a = cat_a.read(spark, "lineage").select("bucket", "n_docs", "n_windows", "content_digest").toPandas().sort_values("bucket").reset_index(drop=True)
+    lin_b = cat_b.read(spark, "lineage").select("bucket", "n_docs", "n_windows", "content_digest").toPandas().sort_values("bucket").reset_index(drop=True)
+    assert lin_a.equals(lin_b)
+
+    # resume on a finished job is a no-op
+    res_c = job_b.run(resume=True)
+    assert res_c["waves_run"] == 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    cat = IcebergLiteCatalog(str(tmp_path / "wh"))
+    bootstrap_tokens(spark, cat, "tokens", n_docs=10, n_buckets=4, mean_len=300)
+    v1 = cat.current_snapshot_id("tokens")
+    n1 = cat.read(spark, "tokens").count()
+    # append a second batch under a new snapshot
+    from tsfeatures_spark.sources.generator import token_table
+    from pyspark.sql import functions as F
+
+    more = token_table(spark, 5, base_seed=7, mean_len=300).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    )
+    v2 = cat.commit(spark, "tokens", more, mode="append", partition_by=["bucket"])
+    assert v2 == v1 + 1
+    assert cat.read(spark, "tokens", snapshot_id=v1).count() == n1  # time travel
+    assert cat.read(spark, "tokens").count() == n1 + 5
+    hist = cat.history("tokens")
+    assert [h["snapshot_id"] for h in hist] == [v1, v2]

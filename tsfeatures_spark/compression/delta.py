@@ -28,14 +28,15 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
 
 
-def varint_encode(u: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def varint_encode_ex(u: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode of a uint64 array.
+    Returns (buffer, per-value byte counts) so callers can split the stream.
+    """
     u = u.astype(np.uint64, copy=False)
     n = u.shape[0]
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(n, dtype=np.int64)
     tmp = u.copy()
     nbytes = np.ones(n, dtype=np.int64)
     tmp >>= np.uint64(7)
@@ -54,7 +55,11 @@ def varint_encode(u: np.ndarray) -> bytes:
         vals = (u[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[sel] - 1) > j
         out[starts[sel] + j] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(u: np.ndarray) -> bytes:
+    return varint_encode_ex(u)[0]
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
@@ -86,6 +91,44 @@ def dod_encode(x: np.ndarray) -> bytes:
     d = np.diff(x)
     dd = np.diff(d)
     return header + varint_encode(zigzag_encode(dd))
+
+
+def dod_encode_windows(x: np.ndarray, W: int) -> list[bytes]:
+    """Batched per-window delta-of-delta encode of a whole doc: ONE varint
+    pass over the concatenated window dd-streams, then byte-offset slicing.
+    Output blocks are byte-identical to calling ``dod_encode`` per window
+    (diff is local, so each window's dd array is a slice of the doc's)."""
+    x = np.asarray(x).astype(np.int64, copy=False)
+    n = x.shape[0]
+    nw = (n + W - 1) // W
+    if n == 0:
+        return []
+    dd_full = np.diff(x, n=2) if n > 2 else np.empty(0, dtype=np.int64)
+    seg_starts = np.arange(nw) * W
+    seg_lens = np.minimum(W, n - seg_starts)
+    dd_counts = np.maximum(seg_lens - 2, 0)
+    segs = [dd_full[s : s + c] for s, c in zip(seg_starts, dd_counts) if c > 0]
+    if segs:
+        buf, nbytes = varint_encode_ex(zigzag_encode(np.concatenate(segs)))
+        ends_per_val = np.cumsum(nbytes)
+        val_ends = np.cumsum(dd_counts)
+        byte_ends = np.where(dd_counts > 0, ends_per_val[np.maximum(val_ends - 1, 0)], 0)
+        byte_ends = np.maximum.accumulate(byte_ends)
+    else:
+        buf = b""
+        byte_ends = np.zeros(nw, dtype=np.int64)
+    blocks: list[bytes] = []
+    prev_end = 0
+    for w in range(nw):
+        s = int(seg_starts[w])
+        L = int(seg_lens[w])
+        first = int(x[s])
+        first_delta = int(x[s + 1] - x[s]) if L >= 2 else 0
+        header = struct.pack("<BQqq", _MAGIC, L, first, first_delta)
+        e = int(byte_ends[w])
+        blocks.append(header + buf[prev_end:e] if L > 2 else header)
+        prev_end = e
+    return blocks
 
 
 def dod_decode(buf: bytes) -> np.ndarray:

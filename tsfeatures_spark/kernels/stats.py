@@ -84,10 +84,11 @@ def acf_biased(x: np.ndarray, nlags: int) -> np.ndarray:
     denom = float(np.dot(xd, xd))
     # full autocovariance via FFT-free correlate is O(n*k); fine for k<=24
     kmax = min(nlags, n - 1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out[0] = 1.0 if denom != 0 else np.nan
-        for k in range(1, kmax + 1):
-            out[k] = float(np.dot(xd[:-k], xd[k:])) / denom
+    if denom == 0 or not np.isfinite(denom):
+        return out  # constant/degenerate series: all-NaN (statsmodels parity)
+    out[0] = 1.0
+    for k in range(1, kmax + 1):
+        out[k] = float(np.dot(xd[:-k], xd[k:])) / denom
     return out
 
 

@@ -26,7 +26,13 @@ def rmse_expr(y: str = "y", y_hat: str = "y_hat") -> Column:
 
 
 def mape_expr(y: str = "y", y_hat: str = "y_hat") -> Column:
-    return 100.0 * F.avg(F.abs(F.col(y) - F.col(y_hat)) / F.abs(F.col(y)))
+    # y == 0 -> NaN that poisons the mean, matching np.mean of 0/0 under the
+    # reference's global seterr(ignore) (metrics.py:88 + utils.py:9); ANSI
+    # Spark would otherwise raise DIVIDE_BY_ZERO
+    ratio = F.when(F.col(y) == 0, F.lit(float("nan"))).otherwise(
+        F.abs(F.col(y) - F.col(y_hat)) / F.abs(F.col(y))
+    )
+    return 100.0 * F.avg(ratio)
 
 
 def smape_expr(y: str = "y", y_hat: str = "y_hat") -> Column:

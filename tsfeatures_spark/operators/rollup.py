@@ -35,7 +35,8 @@ from typing import Iterator, List
 import numpy as np
 import pandas as pd
 
-from ..compression import dod_encode, xor_encode
+from ..compression import xor_encode
+from ..compression.delta import dod_encode_windows
 from ..kernels import compute_features
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
@@ -108,13 +109,19 @@ def window_features_matrix(X: np.ndarray) -> dict:
         edges[:, 0] -= (hi_e - lo_e) * 0.001  # left edge pushed out (right-closed bins)
         codes = (X[:, :, None] > edges[:, None, :]).sum(axis=2) - 1
         codes = np.clip(codes, 0, 9)
-        run_best = np.ones(nw)
-        run_cur = np.ones(nw)
-        for t in range(1, W):
-            same = codes[:, t] == codes[:, t - 1]
-            run_cur = np.where(same, run_cur + 1, 1.0)
-            run_best = np.maximum(run_best, run_cur)
-        out["flat_spots"] = run_best
+        # max run length per row, vectorized: change positions on the
+        # flattened code matrix (row boundaries forced to change), runs =
+        # diff of change positions, per-row max via maximum.reduceat
+        flat = codes.ravel()
+        chg = np.empty(nw * W, dtype=bool)
+        chg[0] = True
+        chg[1:] = flat[1:] != flat[:-1]
+        chg[::W] = True
+        pos = np.flatnonzero(chg)
+        runs = np.diff(np.append(pos, nw * W))
+        row_of_run = pos // W
+        first_run_of_row = np.searchsorted(row_of_run, np.arange(nw))
+        out["flat_spots"] = np.maximum.reduceat(runs, first_run_of_row).astype(float)
         # --- spectral entropy (antropy/scipy periodogram parity)
         spec = np.abs(np.fft.rfft(xd, axis=1)) ** 2 / W
         if W % 2 == 0:
@@ -139,26 +146,35 @@ def window_features_matrix(X: np.ndarray) -> dict:
 
 
 def _partial_window_row(xw: np.ndarray) -> dict:
-    """Trailing partial window: exact per-window kernel path (guards for
-    short n differ per feature; delegate to the reference-parity kernels)."""
+    """Trailing partial window: per-window kernel path (length guards differ
+    per feature — same kernels as the reference-parity suite, minus the
+    statistics kernel's six quantiles we don't emit)."""
+    from ..kernels.features import (
+        acf_features, crossing_points, entropy, flat_spots, lumpiness, stability,
+    )
+
     n = len(xw)
-    f = compute_features(xw, freq=1, features=_KERNEL_FEATURES, scale=False)
-    return {
-        "n": n,
-        "total_sum": f["total_sum"],
-        "vmin": f["min"],
-        "vmax": f["max"],
-        "mean": f["mean"],
-        "m2": f["variance"] * (n - 1) if n > 1 else 0.0,
-        "variance": f["variance"],
-        "x_acf1": f["x_acf1"],
-        "x_acf10": f["x_acf10"],
-        "crossing_points": f["crossing_points"],
-        "flat_spots": f["flat_spots"],
-        "entropy": f["entropy"],
-        "stability": f["stability"],
-        "lumpiness": f["lumpiness"],
-    }
+    with np.errstate(all="ignore"):
+        m = float(np.mean(xw)) if n else float("nan")
+        m2 = float(((xw - m) ** 2).sum()) if n else float("nan")
+        var = m2 / (n - 1) if n > 1 else float("nan")
+        acf = acf_features(xw, 1)
+        return {
+            "n": n,
+            "total_sum": float(np.sum(xw)),
+            "vmin": float(np.min(xw)) if n else float("nan"),
+            "vmax": float(np.max(xw)) if n else float("nan"),
+            "mean": m,
+            "m2": m2 if n > 1 else 0.0,
+            "variance": var,
+            "x_acf1": acf["x_acf1"],
+            "x_acf10": acf["x_acf10"],
+            "crossing_points": crossing_points(xw)["crossing_points"] if n else float("nan"),
+            "flat_spots": flat_spots(xw)["flat_spots"] if n else float("nan"),
+            "entropy": entropy(xw)["entropy"],
+            "stability": stability(xw, 1)["stability"],
+            "lumpiness": lumpiness(xw, 1)["lumpiness"],
+        }
 
 
 def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
@@ -179,17 +195,15 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
         else:
             feats = {k: np.empty(0) for k in
                      ["n", "total_sum", "vmin", "vmax", "mean", "m2", "variance"] + HOLISTIC_FIELDS}
-        rows = {k: list(np.asarray(v, dtype=float)) for k, v in feats.items()}
-        rows["n"] = [int(v) for v in feats["n"]]
+        rows = {k: np.asarray(v, dtype=float) for k, v in feats.items()}
         if tail:
             pr = _partial_window_row(xf[nw_full * W :])
             for k in rows:
-                rows[k].append(pr[k])
+                rows[k] = np.append(rows[k], pr[k])
         # blocks
         blocks: list[bytes] = []
         if tier == "1m":
-            for w in range(nw):
-                blocks.append(dod_encode(tokens[w * W : (w + 1) * W]))
+            blocks = dod_encode_windows(tokens, W)
         else:
             child_tier = "1m" if tier == "1h" else "1h"
             cm = child_means[child_tier]
@@ -198,13 +212,13 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
                 blocks.append(xor_encode(cm[w * ratio : (w + 1) * ratio]))
         digests = [hashlib.sha256(b).hexdigest() for b in blocks]
         results[tier] = {
-            "tier": [tier] * nw,
-            "doc_id": [doc_id] * nw,
-            "source": [source] * nw,
-            "window_id": list(range(nw)),
+            "tier": np.full(nw, tier, dtype=object),
+            "doc_id": np.full(nw, doc_id, dtype=object),
+            "source": np.full(nw, source, dtype=object),
+            "window_id": np.arange(nw, dtype=np.int64),
             **rows,
             "block": blocks,
-            "block_digest": digests,
+            "block_digest": np.asarray(digests, dtype=object),
         }
         child_means[tier] = np.asarray(rows["mean"], dtype=np.float64)
     return results
@@ -214,22 +228,37 @@ def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64):
     """raw token table -> all-tier rollup DataFrame in ONE mapInPandas scan
     (no shuffle; AQE/Catalyst see a simple Scan -> MapInPandas plan)."""
 
+    out_cols = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings
 
         warnings.filterwarnings("ignore")
+        np.seterr(all="ignore")
+        acc: dict[str, list] = {c: [] for c in out_cols}
+        n_acc = 0
+
+        def flush():
+            return pd.DataFrame({c: np.concatenate(acc[c]) if c not in ("block",)
+                                 else sum(acc[c], []) for c in out_cols})
+
         for pdf in batches:
-            acc: list[pd.DataFrame] = []
-            for _, row in pdf.iterrows():
-                toks = np.asarray(row["tokens"])
-                per_tier = rollup_doc(row["doc_id"], row["source"], toks, tiers)
+            doc_ids = pdf["doc_id"].to_numpy()
+            sources = pdf["source"].to_numpy() if "source" in pdf else np.full(len(pdf), "")
+            tok_col = pdf["tokens"].to_numpy()
+            for doc_id, source, toks in zip(doc_ids, sources, tok_col):
+                per_tier = rollup_doc(doc_id, source, np.asarray(toks), tiers)
                 for tier in tiers:
-                    acc.append(pd.DataFrame(per_tier[tier]))
-                if len(acc) >= batch_docs * len(tiers):
-                    yield pd.concat(acc, ignore_index=True)
-                    acc = []
-            if acc:
-                yield pd.concat(acc, ignore_index=True)
+                    cols = per_tier[tier]
+                    for c in out_cols:
+                        acc[c].append(cols[c])
+                    n_acc += len(cols["window_id"])
+                if n_acc >= 4096:
+                    yield flush()
+                    acc = {c: [] for c in out_cols}
+                    n_acc = 0
+        if n_acc:
+            yield flush()
 
     cols = df.columns
     needed = [c for c in ("doc_id", "tokens", "source") if c in cols]

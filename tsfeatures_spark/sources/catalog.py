@@ -1,0 +1,131 @@
+"""Iceberg-lite: snapshot-versioned parquet tables.
+
+No Iceberg runtime jar ships in this sandbox, so this module implements the
+Iceberg *semantics* the engine needs — atomic snapshot commits, manifests,
+time travel, and bucket layout — on plain parquet + JSON, shaped so a real
+Iceberg catalog (DSv2 ``writeTo(...).createOrReplace``) drops in via config.
+
+Layout:
+    <warehouse>/<table>/
+        data/<commit-uuid>/bucket=<b>/part-*.parquet
+        snapshots/v<k>.json    {snapshot_id, parent_id, files, row_count, meta}
+        VERSION                current snapshot id (atomic rename)
+
+Snapshots are immutable; a commit writes data + manifest, then atomically
+flips VERSION. Readers pin a snapshot id → stable reads during concurrent
+commits (the property checkpoint/resume relies on).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+
+class IcebergLiteCatalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def _snapdir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "snapshots")
+
+    def _version_file(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "VERSION")
+
+    # -- queries ---------------------------------------------------------------
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d, "snapshots"))
+        )
+
+    def current_snapshot_id(self, table: str) -> int | None:
+        vf = self._version_file(table)
+        if not os.path.exists(vf):
+            return None
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, table: str, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+        if sid is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        with open(os.path.join(self._snapdir(table), f"v{sid}.json")) as f:
+            return json.load(f)
+
+    def history(self, table: str) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self._snapdir(table), "v*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda s: s["snapshot_id"])
+
+    # -- commit ----------------------------------------------------------------
+    def commit(self, spark, table: str, df, mode: str = "append",
+               partition_by: list[str] | None = None, meta: dict | None = None) -> int:
+        """Write df as a new immutable snapshot. mode: 'append' keeps the
+        parent's files in the manifest; 'overwrite' starts fresh. The commit
+        is atomic: data lands under a fresh uuid dir, the manifest is
+        written, then VERSION flips via os.replace (POSIX-atomic)."""
+        tdir = self._tdir(table)
+        os.makedirs(self._snapdir(table), exist_ok=True)
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(tdir, "data", commit_id)
+        writer = df.write.mode("overwrite").option("compression", "zstd")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+
+        new_files = [
+            os.path.relpath(p, tdir)
+            for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        ]
+        parent = self.current_snapshot_id(table)
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = self.snapshot(table, parent)["files"] + files
+        sid = (parent or 0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "mode": mode,
+            "files": files,
+            "n_new_files": len(new_files),
+            "meta": meta or {},
+        }
+        tmp = os.path.join(self._snapdir(table), f".v{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self._snapdir(table), f"v{sid}.json"))
+        vtmp = self._version_file(table) + ".tmp"
+        with open(vtmp, "w") as f:
+            f.write(str(sid))
+        os.replace(vtmp, self._version_file(table))
+        return sid
+
+    # -- read ------------------------------------------------------------------
+    def read(self, spark, table: str, snapshot_id: int | None = None):
+        """Snapshot-pinned read (time travel when snapshot_id is given).
+        Files are grouped per commit dir and read with that basePath so
+        hive-style partition columns (partitionBy layout) are recovered."""
+        snap = self.snapshot(table, snapshot_id)
+        tdir = self._tdir(table)
+        by_commit: dict[str, list[str]] = {}
+        for f in snap["files"]:
+            commit_dir = os.path.join(tdir, *f.split(os.sep)[:2])  # data/<uuid>
+            by_commit.setdefault(commit_dir, []).append(os.path.join(tdir, f))
+        if not by_commit:
+            raise ValueError(f"snapshot {snap['snapshot_id']} of {table} is empty")
+        df = None
+        for base, paths in by_commit.items():
+            part = spark.read.option("basePath", base).parquet(*paths)
+            # allowMissingColumns: additive schema evolution across commits
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        return df
