@@ -259,6 +259,20 @@ def ts_gapfill_locf(spark, sf_dir):
     )
 
 
+def ts_gapfill_linear(spark, sf_dir):
+    from tsfeatures_spark.operators.gapfill import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(600_000_000)).cast("long")
+    per_w = ev.groupBy("event_type", win.alias("window_id")).agg(F.avg("value").alias("mean"))
+    filled = gapfill(per_w, ["event_type"], "window_id", ["mean"], mode="linear")
+    return filled.select(
+        "event_type", "window_id",
+        F.col("is_gap").cast("int").alias("is_gap"),
+        _r(F.col("mean_filled"), 5).alias("mean_filled"),
+    )
+
+
 def m_pointwise_metrics(spark, sf_dir):
     from tsfeatures_spark.metrics import mape_expr, mse_expr, pinball_expr, rmse_expr, smape_expr
 
@@ -377,9 +391,12 @@ def doc_ngram_jaccard(spark, sf_dir):
     from tsfeatures_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang",
+        # blocking key: near-dups have near-equal length; bucketing bounds
+        # the self-join blowup on common trigrams (word-salad corpus)
+        F.floor(F.length("text") / 100).alias("len_bkt"),
     )
-    pairs = ngram_jaccard_pairs(d, n=3, block_cols=["lang"], min_jaccard=0.05)
+    pairs = ngram_jaccard_pairs(d, n=3, block_cols=["lang", "len_bkt"], min_jaccard=0.05)
     return pairs.select("id_a", "id_b", _r(F.col("jaccard"), 5).alias("jaccard"))
 
 
@@ -485,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
+        "ts_gapfill_linear": ts_gapfill_linear,
         "m_pointwise_metrics": m_pointwise_metrics,
         "m_mase": m_mase,
         "m_rmsse": m_rmsse,
@@ -675,6 +693,40 @@ def oracle_sql() -> dict[str, str]:
                        rows between unbounded preceding and current row), 5) as mean_filled
             from grid g left join per_w p using (event_type, window_id)
         """,
+        "ts_gapfill_linear": """
+            with per_w as (
+                select event_type,
+                       cast(floor(epoch_us(ts) / 600000000) as bigint) as window_id,
+                       avg(value) as mean
+                from events group by 1, 2
+            ), span as (
+                select event_type, min(window_id) as lo, max(window_id) as hi
+                from per_w group by 1
+            ), grid as (
+                select s.event_type, g.window_id
+                from span s, lateral (select unnest(generate_series(s.lo, s.hi)) as window_id) g
+            ), j as (
+                select g.event_type, g.window_id, p.mean,
+                       last_value(p.mean ignore nulls) over w_prev as pv,
+                       last_value(case when p.mean is not null then g.window_id end ignore nulls) over w_prev as pt,
+                       first_value(p.mean ignore nulls) over w_next as nv,
+                       first_value(case when p.mean is not null then g.window_id end ignore nulls) over w_next as nt
+                from grid g left join per_w p using (event_type, window_id)
+                window w_prev as (partition by g.event_type order by g.window_id
+                                  rows between unbounded preceding and current row),
+                       w_next as (partition by g.event_type order by g.window_id
+                                  rows between current row and unbounded following)
+            )
+            select event_type, window_id,
+                   (mean is null)::int as is_gap,
+                   round(0.000001 + case
+                       when mean is not null then mean
+                       when pt is null then nv
+                       when nt is null then pv
+                       else pv + (nv - pv) * (window_id - pt)::double / (nt - pt)
+                   end, 5) as mean_filled
+            from j
+        """,
         "m_pointwise_metrics": f"""
             with panel as ({_PANEL_SQL})
             select unique_id,
@@ -821,17 +873,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": r"""
             with g as (
                 select doc_id::varchar as doc_id, lang,
+                       cast(floor(length(text) / 100) as bigint) as len_bkt,
                        list_distinct([array_to_string(words[i:i+2], ' ')
                            for i in range(1, greatest(len(words) - 2, 1) + 1)]) as grams
-                from (select doc_id, lang,
+                from (select doc_id, lang, text,
                              regexp_split_to_array(lower(text), '\s+') as words
                       from documents)
             ), ex as (
-                select doc_id, lang, len(grams) as n_grams, unnest(grams) as gram from g
+                select doc_id, lang, len_bkt, len(grams) as n_grams, unnest(grams) as gram from g
             ), shared as (
                 select l.doc_id as id_a, r.doc_id as id_b,
                        l.n_grams as na, r.n_grams as nb, count(*) as shared
                 from ex l join ex r on l.gram = r.gram and l.lang = r.lang
+                                   and l.len_bkt = r.len_bkt
                 where l.doc_id < r.doc_id
                 group by 1, 2, 3, 4
             )

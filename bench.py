@@ -80,7 +80,10 @@ def main() -> None:
         os.path.getsize(os.path.join(dp, fn))
         for dp, _, fns in os.walk(tok_path) for fn in fns if fn.endswith(".parquet")
     )
-    split = max(total_bytes // (CPUS * 4), 1 << 20)
+    # ~16 tasks/core: measured best on this box (granularity sweep: 2/core
+    # 31.1s, 4/core 41.2s, 8/core 30.8s, 16/core 25.8s at local[16]) — fine
+    # tasks smooth lognormal doc-length stragglers and VM steal hiccups
+    split = max(total_bytes // (CPUS * 16), 1 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
     toks = spark.read.parquet(tok_path)

@@ -168,3 +168,46 @@ def test_incremental_rollup_and_retention(spark, tmp_path):
     # time travel still shows the pre-retention state
     pre = cat.read(spark, "tiers", snapshot_id=v - 1).count()
     assert pre > len(kept)
+
+
+def test_features_long_with_freq_inference(spark):
+    import pandas as pd
+    from tsfeatures_spark.kernels import compute_features
+    from tsfeatures_spark.kernels.fixtures import USAccDeaths
+    from tsfeatures_spark.operators.features import features_long
+
+    ds = pd.date_range("2000-01-31", periods=len(USAccDeaths), freq="ME")
+    pdf = pd.DataFrame({"unique_id": "usacc", "ds": ds, "y": USAccDeaths})
+    out = features_long(
+        spark.createDataFrame(pdf), freq=None,
+        features=["acf_features", "statistics", "crossing_points"], scale=False,
+    ).toPandas().set_index("unique_id")
+    exp = compute_features(USAccDeaths, 12, ["acf_features", "statistics", "crossing_points"], scale=False)
+    for k, v in exp.items():
+        g = out.loc["usacc", k]
+        assert (np.isnan(g) and np.isnan(v)) or np.isclose(g, v, rtol=1e-12), k
+
+
+def test_stream_rollup_available_now(spark, tmp_path):
+    """Streaming front-end: two file drops -> two micro-batch drains; the
+    checkpoint makes the second drain process only the new files."""
+    from tsfeatures_spark.sources.generator import gen_pandas
+    from tsfeatures_spark.streaming.stream_rollup import run_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = gen_pandas(42, np.arange(4), mean_len=300)
+    spark.createDataFrame(batch1).write.mode("append").parquet(landing)
+    run_stream(spark, landing, out, ckpt, available_now=True)
+    n1 = spark.read.parquet(out).select("doc_id").distinct().count()
+    assert n1 == 4
+
+    batch2 = gen_pandas(7, np.arange(3), mean_len=300)
+    batch2["doc_id"] = "b2-" + batch2["doc_id"]
+    spark.createDataFrame(batch2).write.mode("append").parquet(landing)
+    run_stream(spark, landing, out, ckpt, available_now=True)
+    got = spark.read.parquet(out)
+    assert got.select("doc_id").distinct().count() == 7
+    assert set(got.select("tier").distinct().toPandas()["tier"]) == {"1m", "1h", "1d"}

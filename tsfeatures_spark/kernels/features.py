@@ -718,9 +718,9 @@ def compute_features(
         except Exception:
             vals = {}
         for f in fields:
-            v = vals.get(f, np.nan)
-            if f not in out or (name == names[0]):
-                # first-wins: only set if unseen (ChainMap precedence)
-                if f not in out:
-                    out[f] = float(v) if v is not None else np.nan
+            # first-wins on duplicate keys (ChainMap precedence,
+            # reference tsfeatures.py:926)
+            if f not in out:
+                v = vals.get(f, np.nan)
+                out[f] = float(v) if v is not None else np.nan
     return out

@@ -409,7 +409,8 @@ def fminbound(func, a: float, b: float, xatol: float = 1e-5, maxiter: int = 500)
             else:
                 golden = 1
         if golden:
-            e_ = (b - xf) if xf >= xm else (a - xf)
+            # step into the larger subinterval
+            e_ = (a - xf) if xf >= xm else (b - xf)
             rat = golden_mean * e_
         si = np.sign(rat) + (rat == 0)
         u = xf + si * np.maximum(np.abs(rat), tol1)

@@ -21,6 +21,9 @@ import pandas as pd
 
 from ..kernels import DEFAULT_FEATURES, compute_features, output_fields
 
+# string-frequency -> seasonal period map (reference utils.py:15-17)
+FREQS = {"H": 24, "D": 1, "M": 12, "Q": 4, "W": 1, "Y": 1}
+
 
 def _schema(id_col: str, features: List[str]) -> str:
     fields = output_fields(features)
@@ -72,29 +75,51 @@ def features_wide(
 
 def features_long(
     df,
-    freq: int,
+    freq: Optional[int] = None,
     features: Optional[List[str]] = None,
     scale: bool = True,
     id_col: str = "unique_id",
     time_col: str = "ds",
     value_col: str = "y",
+    dict_freqs: Optional[dict] = None,
 ):
     """Per-series features over a long panel (unique_id, ds, y).
 
     Parity: tsfeatures (reference tsfeatures.py:930-976). One shuffle on the
     series key; rows sorted by ``time_col`` inside each group (the reference
     assumes pre-sorted input; we make it explicit for determinism).
+
+    ``freq=None`` infers each series' frequency from the ``ds`` timestamps
+    via pd.infer_freq + the FREQS map and fails the task with the
+    reference's error semantics when inference is impossible
+    (tsfeatures.py:898-913).
     """
     names = features if features is not None else DEFAULT_FEATURES
     fields = output_fields(names)
     schema = _schema(id_col, names)
+    freqs_map = dict_freqs if dict_freqs is not None else FREQS
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import warnings
 
         warnings.filterwarnings("ignore")
-        y = pdf.sort_values(time_col)[value_col].to_numpy(dtype=float)
-        vals = compute_features(y, int(freq), names, scale=scale)
+        pdf = pdf.sort_values(time_col)
+        m = freq
+        if m is None:
+            inf = pd.infer_freq(pd.DatetimeIndex(pdf[time_col]))
+            if inf is None:
+                raise ValueError(
+                    "Failed to infer frequency from the `ds` column, "
+                    "please provide the frequency using the `freq` argument."
+                )
+            m = freqs_map.get(inf[:1] if inf not in freqs_map else inf)
+            if m is None:
+                raise ValueError(
+                    "Error trying to convert inferred frequency to integer; "
+                    f"provide dict_freqs with key {inf!r}."
+                )
+        y = pdf[value_col].to_numpy(dtype=float)
+        vals = compute_features(y, int(m), names, scale=scale)
         return pd.DataFrame([[str(key[0])] + [vals.get(f, np.nan) for f in fields]], columns=[id_col] + fields)
 
     return df.select(id_col, time_col, value_col).groupBy(id_col).applyInPandas(run, schema=schema)
