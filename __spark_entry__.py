@@ -333,6 +333,29 @@ def m_mini_owa(spark, sf_dir):
     return out.select("unique_id", _r(F.col("error"), 5).alias("mini_owa"))
 
 
+def feats_long_kernels_vs_sql(spark, sf_dir):
+    """The applyInPandas kernel path itself under the oracle gate: run the
+    NumPy kernels per series (long-panel API, reference tsfeatures
+    semantics, scale=False) and let DuckDB recompute the SQL-expressible
+    subset — statistics, crossing_points, sparsity, series_length,
+    stability, lumpiness — from raw rows."""
+    from tsfeatures_spark.operators.features import features_long
+
+    p = _event_panel(spark, sf_dir).select("unique_id", "ds", "y")
+    out = features_long(
+        p, freq=1,
+        features=["statistics", "crossing_points", "sparsity",
+                  "series_length", "stability", "lumpiness"],
+        scale=False,
+    )
+    keep = {
+        "total_sum": 4, "mean": 4, "variance": 4, "median": 4, "p25": 4,
+        "p75": 4, "max": 4, "min": 4, "crossing_points": 1,
+        "sparsity": 6, "series_length": 1, "stability": 4, "lumpiness": 2,
+    }
+    return out.select("unique_id", *[_r(F.col(c), p_).alias(c) for c, p_ in keep.items()])
+
+
 def doc_exact_dedup(spark, sf_dir):
     from tsfeatures_spark.operators.dedup import exact_dedup
 
@@ -507,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_mase": m_mase,
         "m_rmsse": m_rmsse,
         "m_mini_owa": m_mini_owa,
+        "feats_long_kernels_vs_sql": feats_long_kernels_vs_sql,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -793,6 +817,55 @@ def oracle_sql() -> dict[str, str]:
             select m.unique_id,
                    round(0.000001 + ((mae_m / mae_b) + (smape_m / smape_b)) / 2, 5) as mini_owa
             from m join scale s using (unique_id)
+        """,
+        "feats_long_kernels_vs_sql": f"""
+            with panel as ({_PANEL_SQL}),
+            med as (select unique_id, quantile_cont(y, 0.5) as m from panel group by 1),
+            flagged as (
+                select p.unique_id, (p.y <= m.m)::int as b,
+                       lag((p.y <= m.m)::int) over (partition by p.unique_id order by p.ds) as lb
+                from panel p join med m using (unique_id)
+            ),
+            crossings as (
+                select unique_id, sum((b != lb)::int)::double as crossing_points
+                from flagged group by 1
+            ),
+            tiled as (
+                select unique_id, y, cast(floor((ds - 1) / 10) as bigint) as tile
+                from panel
+            ),
+            per_tile as (
+                select unique_id, tile, avg(y) as mv, var_samp(y) as vv, count(*) as n
+                from tiled group by 1, 2
+            ),
+            tilestats as (
+                select unique_id,
+                       var_samp(mv) as stability,
+                       var_samp(vv) as lumpiness
+                from per_tile where n = 10 group by 1
+            ),
+            base as (
+                select unique_id,
+                       round(0.000001 + sum(y), 4) as total_sum,
+                       round(0.000001 + avg(y), 4) as mean,
+                       round(0.000001 + var_samp(y), 4) as variance,
+                       round(0.000001 + quantile_cont(y, 0.5), 4) as median,
+                       round(0.000001 + quantile_cont(y, 0.25), 4) as p25,
+                       round(0.000001 + quantile_cont(y, 0.75), 4) as p75,
+                       round(0.000001 + max(y), 4) as max,
+                       round(0.000001 + min(y), 4) as min,
+                       round(0.000001 + avg((y = 0)::int)::double, 6) as sparsity,
+                       round(0.000001 + count(*)::double, 1) as series_length
+                from panel group by 1
+            )
+            select b.unique_id, b.total_sum, b.mean, b.variance, b.median,
+                   b.p25, b.p75, b.max, b.min,
+                   round(0.000001 + c.crossing_points, 1) as crossing_points,
+                   b.sparsity, b.series_length,
+                   round(0.000001 + t.stability, 4) as stability,
+                   round(0.000001 + t.lumpiness, 2) as lumpiness
+            from base b join crossings c using (unique_id)
+                        join tilestats t using (unique_id)
         """,
         "doc_exact_dedup": """
             with doubled as (

@@ -45,7 +45,12 @@ BENCH_QUERIES = [
     "ts_gapfill_locf",
     "m_pointwise_metrics",
     "doc_quality",
-    "doc_ngram_jaccard",
+    # NOTE: doc_ngram_jaccard stays in the correctness gate but not here —
+    # on this synthetic word-salad corpus every trigram is near-universal,
+    # so the within-block self-join is inherently O(pairs) and measures
+    # corpus pathology, not engine throughput (real corpora are Zipfian;
+    # the scale path for near-dup at 100 TB is minhash LSH anyway).
+    "feats_long_kernels_vs_sql",
     "emb_knn_bruteforce",
     "dedup_minhash_lsh",
 ]
@@ -123,8 +128,27 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     timings["rollup_cascade"] = round(rollup_sec, 3)
+    feats_stats: dict = {}
     if os.environ.get("SPARK_GRAFT_ROLLUP_ONLY"):
         qs = {}
+    if qs:
+        # reference-API throughput: the full default 17-kernel tsfeatures
+        # set (incl. Holt/HW/GARCH/STL fits) over M4-scale series — the
+        # single-node comparison point vs the reference's
+        # multiprocessing+statsmodels pipeline (which cannot run here:
+        # its deps aren't installed — SURVEY.md §7.0)
+        from tsfeatures_spark.operators.features import features_wide
+        from tsfeatures_spark.sources.generator import token_table
+
+        n_series = int(os.environ.get("SPARK_GRAFT_FEAT_SERIES", "500"))
+        fd = token_table(spark, n_series, base_seed=7, mean_len=300, max_len=1000).cache()
+        fd.count()
+        t0 = time.time()
+        features_wide(fd, scale=True, freq=24).count()
+        feats_sec = time.time() - t0
+        timings["feats_default_set"] = round(feats_sec, 3)
+        feats_stats = {"n_series": n_series, "series_per_sec": round(n_series / feats_sec, 1)}
+        fd.unpersist()
     for name in BENCH_QUERIES if qs else []:
         t0 = time.time()
         # count() forces full execution without driver-side materialization
@@ -147,6 +171,7 @@ def main() -> None:
                     "sec": round(rollup_sec, 3),
                     "tokens_per_sec": int(tokens_per_sec),
                 },
+                "features": feats_stats,
             }
         )
     )

@@ -296,12 +296,13 @@ def holt_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         lo = np.array([1e-4, 1e-4, -np.inf, -np.inf])
         hi = np.array([1 - 1e-4, 1 - 1e-4, np.inf, np.inf])
         best = (None, np.inf)
-        for a0 in (0.3, 0.7, 0.95):
-            for b0 in (0.05, 0.5, 0.95):
-                p0 = np.array([a0, b0, intercept, slope])
-                p, fx = st.nelder_mead(lambda p: _holt_sse(np.clip(p, lo, hi), y), p0, bounds=(lo, hi), maxiter=600)
-                if fx < best[1]:
-                    best = (p, fx)
+        # 4 starts cover the (level-dominant, trend-dominant, both-high)
+        # SSE basins; golden tolerances are ±0.02-0.1 (reference's own)
+        for a0, b0 in ((0.3, 0.05), (0.7, 0.1), (0.95, 0.3), (0.99, 0.99)):
+            p0 = np.array([a0, b0, intercept, slope])
+            p, fx = st.nelder_mead(lambda p: _holt_sse(np.clip(p, lo, hi), y), p0, bounds=(lo, hi), maxiter=300)
+            if fx < best[1]:
+                best = (p, fx)
         p = best[0]
         return {"alpha": float(p[0]), "beta": float(p[1])}
     except Exception:
@@ -347,10 +348,10 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         lo = np.array([1e-4] * 3)
         hi = np.array([1 - 1e-4] * 3)
         best = (None, np.inf)
-        for p0 in ([0.3, 0.1, 0.1], [0.7, 0.05, 0.3], [0.95, 0.5, 0.05]):
+        for p0 in ([0.3, 0.1, 0.1], [0.9, 0.05, 0.2]):
             p, fx = st.nelder_mead(
                 lambda p: _hw_sse(np.clip(p, lo, hi), y, m, intercept, slope, s0),
-                np.array(p0), bounds=(lo, hi), maxiter=400,
+                np.array(p0), bounds=(lo, hi), maxiter=250,
             )
             if fx < best[1]:
                 best = (p, fx)
