@@ -211,3 +211,23 @@ def test_stream_rollup_available_now(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.select("doc_id").distinct().count() == 7
     assert set(got.select("tier").distinct().toPandas()["tier"]) == {"1m", "1h", "1d"}
+
+
+def test_rollup_split_giant_equals_unsplit(spark):
+    """Skew path end-to-end: rolling up day-aligned segments of a giant doc
+    yields row-identical output (features, blocks, digests) to the unsplit
+    cascade."""
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.operators.skew import DAY
+
+    rng = np.random.default_rng(21)
+    giant = rng.integers(0, 6000, size=2 * DAY + 777).astype(np.int32)
+    pdf = pd.DataFrame({"doc_id": ["g"], "tokens": [giant],
+                        "n_tok": [len(giant)], "source": ["web"]})
+    df = spark.createDataFrame(pdf)
+    cols = ["doc_id", "tier", "window_id", "n", "mean", "variance", "x_acf1",
+            "entropy", "flat_spots", "block_digest"]
+    plain = rollup_tiers(df).select(cols).toPandas().sort_values(["tier", "window_id"]).reset_index(drop=True)
+    split = rollup_tiers(df, split_giant_tok=DAY).select(cols).toPandas().sort_values(["tier", "window_id"]).reset_index(drop=True)
+    assert len(plain) == len(split)
+    pd.testing.assert_frame_equal(plain, split)

@@ -178,8 +178,12 @@ def _partial_window_row(xw: np.ndarray) -> dict:
 
 
 def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
-               tiers: List[str] = TIER_ORDER) -> dict[str, dict]:
-    """All tier rows for one doc. Returns {tier: columns-dict}."""
+               tiers: List[str] = TIER_ORDER, start_tick: int = 0) -> dict[str, dict]:
+    """All tier rows for one doc (or one day-aligned segment of a giant
+    doc: ``start_tick`` offsets window ids; because segments split only at
+    86400-tick boundaries — operators/skew.py — start_tick is a multiple
+    of every tier width, so per-segment windows are identical to the
+    unsplit computation). Returns {tier: columns-dict}."""
     tokens = np.asarray(tokens, dtype=np.int64)
     n = len(tokens)
     xf = tokens.astype(np.float64)
@@ -211,11 +215,12 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
             for w in range(nw):
                 blocks.append(xor_encode(cm[w * ratio : (w + 1) * ratio]))
         digests = [hashlib.sha256(b).hexdigest() for b in blocks]
+        assert start_tick % W == 0, "segment start must be window-aligned"
         results[tier] = {
             "tier": np.full(nw, tier, dtype=object),
             "doc_id": np.full(nw, doc_id, dtype=object),
             "source": np.full(nw, source, dtype=object),
-            "window_id": np.arange(nw, dtype=np.int64),
+            "window_id": np.arange(nw, dtype=np.int64) + start_tick // W,
             **rows,
             "block": blocks,
             "block_digest": np.asarray(digests, dtype=object),
@@ -224,11 +229,23 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
     return results
 
 
-def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64):
+def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64,
+                 split_giant_tok: int | None = None):
     """raw token table -> all-tier rollup DataFrame in ONE mapInPandas scan
-    (no shuffle; AQE/Catalyst see a simple Scan -> MapInPandas plan)."""
+    (no shuffle; AQE/Catalyst see a simple Scan -> MapInPandas plan).
+
+    ``split_giant_tok``: docs longer than this are pre-split into
+    day-aligned segments (operators/skew.py) so a single pathological doc
+    never pins one task — the output rows are identical to the unsplit
+    computation (window-aligned segmentation; pinned by tests)."""
 
     out_cols = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")]
+
+    if split_giant_tok is not None:
+        from .skew import split_giant_docs
+
+        seg = split_giant_docs(df, max_tok=split_giant_tok)
+        return _rollup_segments(seg, tiers, out_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings
@@ -263,6 +280,46 @@ def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64):
     cols = df.columns
     needed = [c for c in ("doc_id", "tokens", "source") if c in cols]
     return df.select(*needed).mapInPandas(run, schema=ROLLUP_SCHEMA)
+
+
+def _rollup_segments(seg_df, tiers: List[str], out_cols: List[str]):
+    """Cascade over pre-split (doc_id, seg_id, seg_start, tokens, source)
+    segments; window ids carry the segment's tick offset so the union of
+    segment rows equals the unsplit rollup."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        np.seterr(all="ignore")
+        acc: dict[str, list] = {c: [] for c in out_cols}
+        n_acc = 0
+
+        def flush():
+            return pd.DataFrame({c: np.concatenate(acc[c]) if c not in ("block",)
+                                 else sum(acc[c], []) for c in out_cols})
+
+        for pdf in batches:
+            for doc_id, source, toks, start in zip(
+                pdf["doc_id"].to_numpy(), pdf["source"].to_numpy(),
+                pdf["tokens"].to_numpy(), pdf["seg_start"].to_numpy(),
+            ):
+                per_tier = rollup_doc(doc_id, source, np.asarray(toks), tiers,
+                                      start_tick=int(start))
+                for tier in tiers:
+                    cols = per_tier[tier]
+                    for c in out_cols:
+                        acc[c].append(cols[c])
+                    n_acc += len(cols["window_id"])
+                if n_acc >= 4096:
+                    yield flush()
+                    acc = {c: [] for c in out_cols}
+                    n_acc = 0
+        if n_acc:
+            yield flush()
+
+    sel = seg_df.select("doc_id", "seg_start", "tokens", "source")
+    return sel.mapInPandas(run, schema=ROLLUP_SCHEMA)
 
 
 def merge_algebraic(tier_df, from_tier: str, to_tier: str):

@@ -33,7 +33,8 @@ from ..sources.catalog import IcebergLiteCatalog
 class ResumableRollupJob:
     def __init__(self, spark, catalog: IcebergLiteCatalog, tokens_table: str,
                  out_table: str = "tiers", lineage_table: str = "lineage",
-                 n_buckets: int = 16, waves: int = 4):
+                 n_buckets: int = 16, waves: int = 4,
+                 split_giant_tok: int | None = 4 * 86400):
         self.spark = spark
         self.catalog = catalog
         self.tokens_table = tokens_table
@@ -41,6 +42,7 @@ class ResumableRollupJob:
         self.lineage_table = lineage_table
         self.n_buckets = n_buckets
         self.waves = waves
+        self.split_giant_tok = split_giant_tok
 
     # -- helpers --------------------------------------------------------------
     def _with_bucket(self, df):
@@ -73,7 +75,8 @@ class ResumableRollupJob:
             if not remaining:
                 continue
             part = tokens.where(F.col("bucket").isin(remaining))
-            out = rollup_tiers(part.select("doc_id", "tokens", "source", "bucket"))
+            out = rollup_tiers(part.select("doc_id", "tokens", "n_tok", "source"),
+                               split_giant_tok=self.split_giant_tok)
             # re-derive bucket on the output (rollup schema is bucket-free)
             out = out.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)))
             self.catalog.commit(
