@@ -38,6 +38,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         return problems
+    for c in sdf.columns:
+        a, b = sdf[c].dtype, odf[c].dtype
+        # flag raw dtype families that differ (int vs float vs object) —
+        # the driver's schema check may be stricter than value compare
+        fam = lambda d: ("f" if np.issubdtype(d, np.floating) else
+                         "i" if np.issubdtype(d, np.integer) else "o")
+        if fam(a) != fam(b):
+            problems.append(f"dtype family {c}: spark {a} vs oracle {b}")
     a, b = _canon(sdf), _canon(odf)
     if len(a) == len(b):
         for c in a.columns:
