@@ -503,6 +503,34 @@ def tok_rollup_tiers(spark, sf_dir):
     return rollup_tiers(df).drop("block")
 
 
+def dedup_near_pipeline(spark, sf_dir):
+    """LSH candidates -> est prefilter -> exact n-gram rerank (the
+    sub-quadratic near-dup recipe) over documents doubled with copies."""
+    from tsfeatures_spark.operators.dedup import near_dup_pipeline
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
+    return near_dup_pipeline(doubled, min_est=0.5, min_jaccard=0.8)
+
+
+def tok_decode_roundtrip(spark, sf_dir):
+    """Self-validating compression round-trip INSIDE Spark: rebuild every
+    doc's token array from its 1m blocks alone and diff against the
+    generator's originals. Result: one row per doc with match=true —
+    any false row is a codec bug."""
+    from tsfeatures_spark.operators.decode import reconstruct_tokens
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.sources.generator import token_table
+
+    src = token_table(spark, n_docs=40, base_seed=42, partitions=4, mean_len=1200)
+    tiers = rollup_tiers(src)
+    rebuilt = reconstruct_tokens(tiers)
+    j = src.select("doc_id", F.col("tokens").cast("array<long>").alias("orig")).join(rebuilt, "doc_id")
+    return j.select(
+        "doc_id", (F.col("orig") == F.col("tokens")).alias("match")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1-minute windowed statistics rollup over events at
     sf0.001 (driver checks rows > 0, stable schema)."""
@@ -546,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "feats_wide_documents": feats_wide_documents,
         "tok_rollup_tiers": tok_rollup_tiers,
+        "dedup_near_pipeline": dedup_near_pipeline,
+        "tok_decode_roundtrip": tok_decode_roundtrip,
     }
 
 

@@ -231,3 +231,43 @@ def test_rollup_split_giant_equals_unsplit(spark):
     split = rollup_tiers(df, split_giant_tok=DAY).select(cols).toPandas().sort_values(["tier", "window_id"]).reset_index(drop=True)
     assert len(plain) == len(split)
     pd.testing.assert_frame_equal(plain, split)
+
+
+def test_decode_blocks_and_reconstruct_tokens(spark):
+    """Read-side compression invariants inside Spark: 1m blocks decode to
+    the exact raw tokens; the full token array reassembles from blocks
+    alone (raw-tier retirement is lossless)."""
+    from tsfeatures_spark.operators.decode import decode_blocks, reconstruct_tokens
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.sources.generator import gen_doc, token_table
+
+    tiers = rollup_tiers(token_table(spark, 6, partitions=2, mean_len=700)).cache()
+    dec = decode_blocks(tiers.where(F.col("tier") == "1m")).toPandas()
+    # spot-check one window against the generator
+    row = dec[dec.doc_id == dec.doc_id.iloc[0]].sort_values("window_id").iloc[0]
+    i = int(row.doc_id.split("-")[-1])
+    _, toks, _ = gen_doc(42, i, mean_len=700)
+    np.testing.assert_array_equal(np.asarray(row["values"]), toks[:60].astype(float)[: len(row["values"])])
+
+    rebuilt = reconstruct_tokens(tiers).toPandas().set_index("doc_id")
+    for doc_id in rebuilt.index:
+        i = int(doc_id.split("-")[-1])
+        _, toks, _ = gen_doc(42, i, mean_len=700)
+        np.testing.assert_array_equal(np.asarray(rebuilt.loc[doc_id, "tokens"]), toks.astype(np.int64))
+    tiers.unpersist()
+
+
+def test_near_dup_pipeline_end_to_end(spark):
+    from tsfeatures_spark.operators.dedup import near_dup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    near = base.replace("lazy", "sleepy").replace("far", "quite far")
+    rng = np.random.default_rng(3)
+    noise = [" ".join(rng.choice(list("abcdefghijklmn"), 70)) for _ in range(25)]
+    pdf = pd.DataFrame({"doc_id": ["d1", "d2"] + [f"n{i}" for i in range(25)],
+                        "text": [base, near] + noise})
+    out = near_dup_pipeline(spark.createDataFrame(pdf), min_est=0.3, min_jaccard=0.35).toPandas()
+    # word repetition shrinks the distinct-gram sets: exact 3-gram jaccard
+    # of the planted pair is ~0.42 despite ~0.65 char-shingle similarity
+    assert set(zip(out.id_a, out.id_b)) == {("d1", "d2")}
+    assert out.iloc[0]["jaccard"] > 0.35

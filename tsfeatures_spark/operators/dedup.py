@@ -183,6 +183,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return shared.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= min_jaccard)
 
 
+def near_dup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16, shingle: int = 5,
+                      min_est: float = 0.4, min_jaccard: float = 0.6,
+                      ngram: int = 3, seed: int = 42) -> DataFrame:
+    """The 100 TB near-dup recipe end-to-end: minhash LSH generates
+    candidates (sub-quadratic), an est_jaccard prefilter trims them, then
+    EXACT word-n-gram jaccard reranks only the surviving pairs (the
+    verify step never sees the quadratic pair space).
+
+    Returns (id_a, id_b, est_jaccard, jaccard) with jaccard >= min_jaccard.
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle, seed)
+    cands = cands.where(F.col("est_jaccard") >= min_est)
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - ngram, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, ngram)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    pairs = (
+        cands.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "gb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter / union
+    return pairs.select("id_a", "id_b", "est_jaccard", jac.alias("jaccard")).where(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                         threshold: float = 0.95, block_bits: int = 0, seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
