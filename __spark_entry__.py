@@ -19,16 +19,54 @@ order-insensitive value-hash is robust to summation-order ulps.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the engine package lives beside this file; make imports CWD-independent
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_PYFILES_SHIPPED = False
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Python workers don't inherit the driver's sys.path: when the driver
+    runs from a foreign CWD, executor-side `import tsfeatures_spark`
+    (inside pandas UDFs) fails. Ship the package as a zip via addPyFile —
+    the same mechanism a real cluster uses (spark-submit --py-files)."""
+    global _PYFILES_SHIPPED
+    if _PYFILES_SHIPPED:
+        return
+    import zipfile
+
+    zpath = os.path.join("/tmp", f"tsfeatures_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+        pkg = os.path.join(_REPO, "tsfeatures_spark")
+        for dp, _, fns in os.walk(pkg):
+            for fn in fns:
+                if fn.endswith(".py"):
+                    full = os.path.join(dp, fn)
+                    z.write(full, os.path.relpath(full, _REPO))
+    os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SHIPPED = True
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own session: pin UTC so TIMESTAMP_NTZ ->
+    # TIMESTAMP casts (window bucketing) agree with DuckDB's epoch_us
+    # regardless of the host timezone (runtime-settable, idempotent),
+    # and ship the package zip so executor-side UDF imports work from
+    # any driver CWD
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pkg_on_executors(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -499,6 +537,7 @@ def tok_rollup_tiers(spark, sf_dir):
     from tsfeatures_spark.operators.rollup import rollup_tiers
     from tsfeatures_spark.sources.generator import token_table
 
+    _ensure_pkg_on_executors(spark)
     df = token_table(spark, n_docs=50, base_seed=42, partitions=8, mean_len=1500)
     return rollup_tiers(df).drop("block")
 
@@ -522,6 +561,7 @@ def tok_decode_roundtrip(spark, sf_dir):
     from tsfeatures_spark.operators.rollup import rollup_tiers
     from tsfeatures_spark.sources.generator import token_table
 
+    _ensure_pkg_on_executors(spark)
     src = token_table(spark, n_docs=40, base_seed=42, partitions=4, mean_len=1200)
     tiers = rollup_tiers(src)
     rebuilt = reconstruct_tokens(tiers)
