@@ -229,6 +229,14 @@ def ts_acf1(spark, sf_dir):
     return out.select("event_type", _r(F.col("x_acf1"), 6).alias("x_acf1"))
 
 
+def ts_acf10(spark, sf_dir):
+    from tsfeatures_spark.functions import acf10_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = acf10_df(ev, ["event_type"], ["ts", "event_id"], "value")
+    return out.select("event_type", _r(F.col("x_acf10"), 6).alias("x_acf10"))
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stability": ts_stability,
         "ts_lumpiness": ts_lumpiness,
         "ts_acf1": ts_acf1,
+        "ts_acf10": ts_acf10,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
@@ -744,6 +753,38 @@ def oracle_sql() -> dict[str, str]:
                    round(0.000001 + sum(case when lv is not null then (value - m) * (lv - m) end)
                          / sum((value - m) * (value - m)), 6) as x_acf1
             from lagged group by 1
+        """,
+        "ts_acf10": """
+            with stats as (select event_type, avg(value) as m from events group by 1),
+            lagged as (
+                select e.event_type, e.value, s.m,
+                       lag(e.value, 1) over w as l1, lag(e.value, 2) over w as l2,
+                       lag(e.value, 3) over w as l3, lag(e.value, 4) over w as l4,
+                       lag(e.value, 5) over w as l5, lag(e.value, 6) over w as l6,
+                       lag(e.value, 7) over w as l7, lag(e.value, 8) over w as l8,
+                       lag(e.value, 9) over w as l9, lag(e.value, 10) over w as l10
+                from events e join stats s using (event_type)
+                window w as (partition by e.event_type order by e.ts, e.event_id)
+            ),
+            sums as (
+                select event_type,
+                       sum((value - m) * (value - m)) as den,
+                       sum(case when l1 is not null then (value - m) * (l1 - m) end) as a1,
+                       sum(case when l2 is not null then (value - m) * (l2 - m) end) as a2,
+                       sum(case when l3 is not null then (value - m) * (l3 - m) end) as a3,
+                       sum(case when l4 is not null then (value - m) * (l4 - m) end) as a4,
+                       sum(case when l5 is not null then (value - m) * (l5 - m) end) as a5,
+                       sum(case when l6 is not null then (value - m) * (l6 - m) end) as a6,
+                       sum(case when l7 is not null then (value - m) * (l7 - m) end) as a7,
+                       sum(case when l8 is not null then (value - m) * (l8 - m) end) as a8,
+                       sum(case when l9 is not null then (value - m) * (l9 - m) end) as a9,
+                       sum(case when l10 is not null then (value - m) * (l10 - m) end) as a10
+                from lagged group by 1
+            )
+            select event_type,
+                   round(0.000001 + (a1*a1 + a2*a2 + a3*a3 + a4*a4 + a5*a5
+                        + a6*a6 + a7*a7 + a8*a8 + a9*a9 + a10*a10) / (den*den), 6) as x_acf10
+            from sums
         """,
         "ts_rollup_1m": """
             select event_type,

@@ -55,3 +55,15 @@ def test_compression_ratio_on_smooth_series():
     assert ratio < 0.4  # delta-of-delta should crush smooth token streams
     means = np.round(np.cumsum(rng.normal(size=600)), 1)
     assert len(xor_encode(means)) < 8 * 600
+
+
+def test_block_corruption_typed_errors():
+    from tsfeatures_spark.compression import BlockCorruption
+
+    b = dod_encode(np.arange(100))
+    with np.testing.assert_raises(BlockCorruption):
+        dod_decode(b[:10])  # truncated header
+    with np.testing.assert_raises(BlockCorruption):
+        xor_decode(b)  # wrong codec magic
+    with np.testing.assert_raises(BlockCorruption):
+        dod_decode(b[:20])  # truncated varint stream

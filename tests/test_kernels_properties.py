@@ -99,3 +99,34 @@ def test_statistics_translation():
     b = statistics(x + 1000.0)
     assert np.isclose(b["mean"] - a["mean"], 1000.0)
     assert np.isclose(b["variance"], a["variance"], rtol=1e-9)
+
+
+def test_stl_decomposition_regimes():
+    """STL feature sanity across known regimes (loess STL + supsmu-lite)."""
+    from tsfeatures_spark.kernels.features import stl_features
+    from tsfeatures_spark.kernels.fixtures import USAccDeaths
+
+    rng = np.random.default_rng(0)
+    n, m = 240, 12
+    t = np.arange(n)
+    seasonal = 50 * np.sin(2 * np.pi * t / m)
+    noise = rng.normal(0, 2, n)
+
+    f = stl_features(100 + 0.5 * t + seasonal + noise, m)
+    assert f["trend"] > 0.95 and f["seasonal_strength"] > 0.95
+    assert f["peak"] == 4.0 and f["trough"] == 10.0  # sin peak t=3 -> pos 4
+
+    f_noise = stl_features(rng.normal(size=n), m)
+    assert f_noise["trend"] < 0.3 and f_noise["seasonal_strength"] < 0.4
+
+    f_trend = stl_features(100 + 2 * t + noise, m)
+    assert f_trend["trend"] > 0.99 and f_trend["seasonal_strength"] < 0.4
+
+    # freq=1 supersmoother path
+    assert stl_features(100 + 0.5 * t + noise, 1)["trend"] > 0.95
+    assert stl_features(rng.normal(size=n), 1)["trend"] < 0.3
+
+    # classic dataset: July peak / February trough of US accidental deaths
+    fu = stl_features(USAccDeaths, 12)
+    assert fu["peak"] == 7.0 and fu["trough"] == 2.0
+    assert 0.7 < fu["trend"] < 1.0 and fu["seasonal_strength"] > 0.9

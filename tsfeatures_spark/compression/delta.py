@@ -15,6 +15,11 @@ import struct
 
 import numpy as np
 
+
+class BlockCorruption(ValueError):
+    """A block failed structural validation during decode."""
+
+
 _MAGIC = 1
 
 
@@ -68,6 +73,8 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8)
     is_end = (b & 0x80) == 0
+    if int(is_end.sum()) < count:
+        raise BlockCorruption(f"varint stream truncated: {int(is_end.sum())} < {count} values")
     ends = np.flatnonzero(is_end)[:count]
     starts = np.concatenate([[0], ends[:-1] + 1])
     nbytes = ends - starts + 1
@@ -132,9 +139,14 @@ def dod_encode_windows(x: np.ndarray, W: int) -> list[bytes]:
 
 
 def dod_decode(buf: bytes) -> np.ndarray:
-    """Inverse of dod_encode; returns int64 array."""
+    """Inverse of dod_encode; returns int64 array.
+    Raises BlockCorruption on malformed input (integrity auditing is the
+    lineage table's sha256 digests; this is the structural backstop)."""
+    if len(buf) < struct.calcsize("<BQqq"):
+        raise BlockCorruption(f"block too short: {len(buf)} bytes")
     magic, n, first, first_delta = struct.unpack_from("<BQqq", buf, 0)
-    assert magic == _MAGIC, "bad block magic"
+    if magic != _MAGIC:
+        raise BlockCorruption(f"bad delta-block magic {magic}")
     if n == 0:
         return np.empty(0, dtype=np.int64)
     if n == 1:

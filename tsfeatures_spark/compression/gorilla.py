@@ -18,6 +18,8 @@ import struct
 
 import numpy as np
 
+from .delta import BlockCorruption
+
 _MAGIC = 2
 
 
@@ -56,8 +58,11 @@ def xor_encode(x: np.ndarray) -> bytes:
 
 
 def xor_decode(buf: bytes) -> np.ndarray:
+    if len(buf) < struct.calcsize("<BQd"):
+        raise BlockCorruption(f"block too short: {len(buf)} bytes")
     magic, n, first = struct.unpack_from("<BQd", buf, 0)
-    assert magic == _MAGIC, "bad block magic"
+    if magic != _MAGIC:
+        raise BlockCorruption(f"bad gorilla-block magic {magic}")
     if n == 0:
         return np.empty(0, dtype=np.float64)
     out_bits = np.empty(n, dtype=np.uint64)

@@ -1,5 +1,6 @@
 from .sql_features import (  # noqa: F401
     acf1_df,
+    acf10_df,
     count_entropy_agg,
     crossing_points_df,
     series_length_agg,

@@ -103,3 +103,24 @@ def acf1_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") ->
     num = F.sum((F.col(col) - F.col("_m")) * (F.col("_lag") - F.col("_m")))
     den = F.sum((F.col(col) - F.col("_m")) * (F.col(col) - F.col("_m")))
     return j.groupBy(*keys).agg((num / den).alias("x_acf1"))
+
+
+def acf10_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """x_acf10 (sum of squared biased autocorrelations at lags 1..10),
+    window-native: ten lag() columns over ONE window spec (a single sort),
+    then one aggregate — acf_features parity (tsfeatures.py:79) for
+    series with n > 10."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = df
+    for k in range(1, 11):
+        d = d.withColumn(f"_lag{k}", F.lag(F.col(col), k).over(w))
+    stats = df.groupBy(*keys).agg(F.avg(F.col(col)).alias("_m"))
+    j = d.join(F.broadcast(stats), keys)
+    dev = F.col(col) - F.col("_m")
+    den = F.sum(dev * dev)
+    acfs = [F.sum(dev * (F.col(f"_lag{k}") - F.col("_m"))) / den for k in range(1, 11)]
+    total = None
+    for a in acfs:
+        term = a * a
+        total = term if total is None else total + term
+    return j.groupBy(*keys).agg(total.alias("x_acf10"))
