@@ -177,6 +177,62 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (region, nation): all grouping-set combinations with a
+    grouping_id discriminator — the relational rollup surface the
+    reference lacks entirely (SURVEY.md §2.5)."""
+    re = _t(spark, sf_dir, "region")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    j = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return (
+        j.cube("r_name", "n_name")
+        .agg(_r(F.sum("o_totalprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+def q_semi_join_big_customers(spark, sf_dir):
+    """LEFT SEMI join: customers having at least one order above the
+    global average order price."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    avg_price = od.agg(F.avg("o_totalprice")).collect()[0][0]
+    big = od.where(F.col("o_totalprice") > float(avg_price))
+    return (
+        cu.join(big, cu.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"), _r(F.avg("c_acctbal")).alias("avg_bal"))
+    )
+
+
+def q_setop_intersect(spark, sf_dir):
+    """INTERSECT / EXCEPT set ops: event types common to the two heaviest
+    user cohorts vs exclusive to the first."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("user_id") % 2 == 0).select("event_type").distinct()
+    b = ev.where(F.col("user_id") % 2 == 1).select("event_type").distinct()
+    both = a.intersect(b).withColumn("set_op", F.lit("intersect"))
+    only_a = a.exceptAll(b).withColumn("set_op", F.lit("except"))
+    return both.unionByName(only_a)
+
+
+def q_top10_orders(spark, sf_dir):
+    """Global top-k with deterministic tie-break."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _r(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
 def ts_stats_events(spark, sf_dir):
     from tsfeatures_spark.functions import statistics_aggs
 
@@ -592,6 +648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q_window_top_order": q_window_top_order,
         "q_customers_without_orders": q_customers_without_orders,
+        "q_cube_revenue": q_cube_revenue,
+        "q_semi_join_big_customers": q_semi_join_big_customers,
+        "q_setop_intersect": q_setop_intersect,
+        "q_top10_orders": q_top10_orders,
         "ts_stats_events": ts_stats_events,
         "ts_sparsity_entropy_len": ts_sparsity_entropy_len,
         "ts_crossing_points": ts_crossing_points,
@@ -670,6 +730,38 @@ def oracle_sql() -> dict[str, str]:
             select c_mktsegment, count(*) as n_custs
             from customer
             where c_custkey not in (select o_custkey from orders)
+            group by 1
+        """,
+        "q_setop_intersect": """
+            with a as (select distinct event_type from events where user_id % 2 = 0),
+                 b as (select distinct event_type from events where user_id % 2 = 1)
+            select event_type, 'intersect' as set_op from (select * from a intersect select * from b)
+            union all
+            select event_type, 'except' as set_op from (select * from a except select * from b)
+        """,
+        "q_top10_orders": """
+            select o_orderkey, o_custkey,
+                   round(0.000001 + o_totalprice, 4) as o_totalprice
+            from orders order by o_totalprice desc, o_orderkey asc limit 10
+        """,
+        "q_cube_revenue": """
+            select r_name, n_name,
+                   round(0.000001 + sum(o_totalprice), 4) as revenue,
+                   count(*) as n_orders,
+                   (case when grouping(r_name) = 1 then 2 else 0 end
+                    + case when grouping(n_name) = 1 then 1 else 0 end)::bigint as gid
+            from orders join customer on o_custkey = c_custkey
+                        join nation on c_nationkey = n_nationkey
+                        join region on n_regionkey = r_regionkey
+            group by cube (r_name, n_name)
+        """,
+        "q_semi_join_big_customers": """
+            with t as (select avg(o_totalprice) as ap from orders)
+            select c_mktsegment, count(*) as n_custs,
+                   round(0.000001 + avg(c_acctbal), 4) as avg_bal
+            from customer
+            where c_custkey in (
+                select o_custkey from orders, t where o_totalprice > t.ap)
             group by 1
         """,
         "ts_stats_events": """
