@@ -1,6 +1,8 @@
 """Gorilla-style XOR block codec for float64 series.
 
-XORs each value's bit pattern with its predecessor, then stores each XOR
+XORs each value's bit pattern with its predecessor (the core idea of
+Facebook's Gorilla TSDB, Pelkonen et al., VLDB 2015; successors like
+Chimp, VLDB 2022, refine the bit packing), then stores each XOR
 result byte-aligned with leading zero *bytes* stripped (a byte-aligned
 variant of Facebook Gorilla's bit-packing — same XOR-of-successive-values
 core, simpler framing so the codec stays fully NumPy-vectorized; the
