@@ -256,8 +256,10 @@ def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64,
         n_acc = 0
 
         def flush():
+            from itertools import chain
+
             return pd.DataFrame({c: np.concatenate(acc[c]) if c not in ("block",)
-                                 else sum(acc[c], []) for c in out_cols})
+                                 else list(chain.from_iterable(acc[c])) for c in out_cols})
 
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy()
@@ -296,8 +298,10 @@ def _rollup_segments(seg_df, tiers: List[str], out_cols: List[str]):
         n_acc = 0
 
         def flush():
+            from itertools import chain
+
             return pd.DataFrame({c: np.concatenate(acc[c]) if c not in ("block",)
-                                 else sum(acc[c], []) for c in out_cols})
+                                 else list(chain.from_iterable(acc[c])) for c in out_cols})
 
         for pdf in batches:
             for doc_id, source, toks, start in zip(
