@@ -293,6 +293,17 @@ def ts_acf10(spark, sf_dir):
     return out.select("event_type", _r(F.col("x_acf10"), 6).alias("x_acf10"))
 
 
+def ts_pacf5(spark, sf_dir):
+    """Partial autocorrelations via UNROLLED order-5 Levinson-Durbin as
+    pure column arithmetic — statsmodels pacf('ldb') parity with zero
+    Python in the plan."""
+    from tsfeatures_spark.functions import pacf5_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = pacf5_df(ev, ["event_type"], ["ts", "event_id"], "value")
+    return out.select("event_type", _r(F.col("x_pacf5"), 6).alias("x_pacf5"))
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -659,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lumpiness": ts_lumpiness,
         "ts_acf1": ts_acf1,
         "ts_acf10": ts_acf10,
+        "ts_pacf5": ts_pacf5,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
@@ -845,6 +857,38 @@ def oracle_sql() -> dict[str, str]:
                    round(0.000001 + sum(case when lv is not null then (value - m) * (lv - m) end)
                          / sum((value - m) * (value - m)), 6) as x_acf1
             from lagged group by 1
+        """,
+        "ts_pacf5": """
+            with stats as (select event_type, avg(value) as m from events group by 1),
+            lagged as (
+                select e.event_type, e.value, s.m,
+                       lag(e.value, 1) over w as l1, lag(e.value, 2) over w as l2,
+                       lag(e.value, 3) over w as l3, lag(e.value, 4) over w as l4,
+                       lag(e.value, 5) over w as l5
+                from events e join stats s using (event_type)
+                window w as (partition by e.event_type order by e.ts, e.event_id)
+            ),
+            rs as (
+                select event_type,
+                       sum(case when l1 is not null then (value-m)*(l1-m) end) / sum((value-m)*(value-m)) as r1,
+                       sum(case when l2 is not null then (value-m)*(l2-m) end) / sum((value-m)*(value-m)) as r2,
+                       sum(case when l3 is not null then (value-m)*(l3-m) end) / sum((value-m)*(value-m)) as r3,
+                       sum(case when l4 is not null then (value-m)*(l4-m) end) / sum((value-m)*(value-m)) as r4,
+                       sum(case when l5 is not null then (value-m)*(l5-m) end) / sum((value-m)*(value-m)) as r5
+                from lagged group by 1
+            ),
+            s1 as (select *, r1 as p11, 1 - r1*r1 as d1 from rs),
+            s2 as (select *, (r2 - p11*r1)/d1 as p22 from s1),
+            s2b as (select *, p11 - p22*p11 as p21, d1*(1-p22*p22) as d2 from s2),
+            s3 as (select *, (r3 - (p21*r2 + p22*r1))/d2 as p33 from s2b),
+            s3b as (select *, p21 - p33*p22 as p31, p22 - p33*p21 as p32, d2*(1-p33*p33) as d3 from s3),
+            s4 as (select *, (r4 - (p31*r3 + p32*r2 + p33*r1))/d3 as p44 from s3b),
+            s4b as (select *, p31 - p44*p33 as p41, p32 - p44*p32 as p42, p33 - p44*p31 as p43,
+                           d3*(1-p44*p44) as d4 from s4),
+            s5 as (select *, (r5 - (p41*r4 + p42*r3 + p43*r2 + p44*r1))/d4 as p55 from s4b)
+            select event_type,
+                   round(0.000001 + p11*p11 + p22*p22 + p33*p33 + p44*p44 + p55*p55, 6) as x_pacf5
+            from s5
         """,
         "ts_acf10": """
             with stats as (select event_type, avg(value) as m from events group by 1),

@@ -3,6 +3,7 @@ from .sql_features import (  # noqa: F401
     acf10_df,
     count_entropy_agg,
     crossing_points_df,
+    pacf5_df,
     series_length_agg,
     sparsity_agg,
     statistics_aggs,

@@ -102,7 +102,48 @@ def acf1_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") ->
     j = lagged.join(F.broadcast(stats), keys)
     num = F.sum((F.col(col) - F.col("_m")) * (F.col("_lag") - F.col("_m")))
     den = F.sum((F.col(col) - F.col("_m")) * (F.col(col) - F.col("_m")))
-    return j.groupBy(*keys).agg((num / den).alias("x_acf1"))
+    return j.groupBy(*keys).agg(F.try_divide(num, den).alias("x_acf1"))
+
+
+def pacf5_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """x_pacf5 (sum of squared partial autocorrelations at lags 1..5,
+    method 'ldb') FULLY SQL-native: biased autocorrelations r1..r5 from
+    five lag() columns, then the order-5 Levinson-Durbin recursion
+    UNROLLED as scalar column arithmetic — no UDF anywhere. The recursion
+    is scale-invariant, so normalized r's substitute for autocovariances.
+    Matches kernels.pacf_features for series with n > 5."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = df
+    for k in range(1, 6):
+        d = d.withColumn(f"_lag{k}", F.lag(F.col(col), k).over(w))
+    stats = df.groupBy(*keys).agg(F.avg(F.col(col)).alias("_m"))
+    j = d.join(F.broadcast(stats), keys)
+    dev = F.col(col) - F.col("_m")
+    den = F.sum(dev * dev)
+    aggs = [F.try_divide(F.sum(dev * (F.col(f"_lag{k}") - F.col("_m"))), den).alias(f"r{k}") for k in range(1, 6)]
+    g = j.groupBy(*keys).agg(*aggs)
+    r = {k: F.col(f"r{k}") for k in range(1, 6)}
+    # Levinson-Durbin, order 5, unrolled (phi[j,k] = phi[j,k-1] - pkk*phi[k-j,k-1])
+    g = g.withColumn("p11", r[1]).withColumn("d1", 1 - F.col("p11") * r[1])
+    g = g.withColumn("p22", F.try_divide(r[2] - F.col("p11") * r[1], F.col("d1")))
+    g = g.withColumn("p21", F.col("p11") - F.col("p22") * F.col("p11"))
+    g = g.withColumn("d2", F.col("d1") * (1 - F.col("p22") * F.col("p22")))
+    g = g.withColumn("p33", F.try_divide(r[3] - (F.col("p21") * r[2] + F.col("p22") * r[1]), F.col("d2")))
+    g = g.withColumn("p31", F.col("p21") - F.col("p33") * F.col("p22"))
+    g = g.withColumn("p32", F.col("p22") - F.col("p33") * F.col("p21"))
+    g = g.withColumn("d3", F.col("d2") * (1 - F.col("p33") * F.col("p33")))
+    g = g.withColumn("p44", F.try_divide(r[4] - (F.col("p31") * r[3] + F.col("p32") * r[2] + F.col("p33") * r[1]), F.col("d3")))
+    g = g.withColumn("p41", F.col("p31") - F.col("p44") * F.col("p33"))
+    g = g.withColumn("p42", F.col("p32") - F.col("p44") * F.col("p32"))
+    g = g.withColumn("p43", F.col("p33") - F.col("p44") * F.col("p31"))
+    g = g.withColumn("d4", F.col("d3") * (1 - F.col("p44") * F.col("p44")))
+    g = g.withColumn("p55", F.try_divide(r[5] - (F.col("p41") * r[4] + F.col("p42") * r[3] + F.col("p43") * r[2] + F.col("p44") * r[1]), F.col("d4")))
+    pacf5 = (
+        F.col("p11") * F.col("p11") + F.col("p22") * F.col("p22")
+        + F.col("p33") * F.col("p33") + F.col("p44") * F.col("p44")
+        + F.col("p55") * F.col("p55")
+    )
+    return g.select(*keys, pacf5.alias("x_pacf5"))
 
 
 def acf10_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
@@ -118,7 +159,7 @@ def acf10_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -
     j = d.join(F.broadcast(stats), keys)
     dev = F.col(col) - F.col("_m")
     den = F.sum(dev * dev)
-    acfs = [F.sum(dev * (F.col(f"_lag{k}") - F.col("_m"))) / den for k in range(1, 11)]
+    acfs = [F.try_divide(F.sum(dev * (F.col(f"_lag{k}") - F.col("_m"))), den) for k in range(1, 11)]
     total = None
     for a in acfs:
         term = a * a
