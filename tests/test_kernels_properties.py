@@ -130,3 +130,22 @@ def test_stl_decomposition_regimes():
     fu = stl_features(USAccDeaths, 12)
     assert fu["peak"] == 7.0 and fu["trough"] == 2.0
     assert 0.7 < fu["trend"] < 1.0 and fu["seasonal_strength"] > 0.9
+
+
+def test_heterogeneity_discriminates_garch():
+    from tsfeatures_spark.kernels.features import heterogeneity
+
+    rng = np.random.default_rng(5)
+    n = 500
+    om, al, be = 0.2, 0.25, 0.65
+    h = np.empty(n)
+    e = np.empty(n)
+    h[0] = om / (1 - al - be)
+    for t in range(n):
+        if t:
+            h[t] = om + al * e[t - 1] ** 2 + be * h[t - 1]
+        e[t] = rng.normal() * np.sqrt(h[t])
+    f_garch = heterogeneity(e, 1)
+    f_wn = heterogeneity(rng.normal(size=n), 1)
+    assert f_garch["arch_r2"] > 3 * f_wn["arch_r2"]
+    assert f_garch["arch_acf"] > 3 * f_wn["arch_acf"]
