@@ -304,6 +304,33 @@ def ts_pacf5(spark, sf_dir):
     return out.select("event_type", _r(F.col("x_pacf5"), 6).alias("x_pacf5"))
 
 
+def ts_seas_acf1(spark, sf_dir):
+    from tsfeatures_spark.functions import seas_acf1_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = seas_acf1_df(ev, ["event_type"], ["ts", "event_id"], 24, "value")
+    return out.select("event_type", _r(F.col("seas_acf1"), 6).alias("seas_acf1"))
+
+
+def ts_intervals(spark, sf_dir):
+    """intervals_mean/sd over above-median demand runs (events has no
+    zeros, so demand = value thresholded at the per-type median) — the
+    gaps-and-islands SQL form of the intervals kernel."""
+    from tsfeatures_spark.functions import intervals_df
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("_med"))
+    demand = ev.join(F.broadcast(med), "event_type").withColumn(
+        "demand", F.when(F.col("value") > F.col("_med"), F.col("value")).otherwise(F.lit(0.0))
+    )
+    out = intervals_df(demand, ["event_type"], ["ts", "event_id"], "demand")
+    return out.select(
+        "event_type",
+        _r(F.col("intervals_mean"), 6).alias("intervals_mean"),
+        _r(F.col("intervals_sd"), 6).alias("intervals_sd"),
+    )
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -671,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf1": ts_acf1,
         "ts_acf10": ts_acf10,
         "ts_pacf5": ts_pacf5,
+        "ts_seas_acf1": ts_seas_acf1,
+        "ts_intervals": ts_intervals,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
@@ -857,6 +886,38 @@ def oracle_sql() -> dict[str, str]:
                    round(0.000001 + sum(case when lv is not null then (value - m) * (lv - m) end)
                          / sum((value - m) * (value - m)), 6) as x_acf1
             from lagged group by 1
+        """,
+        "ts_seas_acf1": """
+            with stats as (select event_type, avg(value) as m from events group by 1),
+            lagged as (
+                select e.event_type, e.value, s.m,
+                       lag(e.value, 24) over (partition by e.event_type
+                            order by e.ts, e.event_id) as lm
+                from events e join stats s using (event_type)
+            )
+            select event_type,
+                   round(0.000001 + sum(case when lm is not null then (value-m)*(lm-m) end)
+                         / sum((value-m)*(value-m)), 6) as seas_acf1
+            from lagged group by 1
+        """,
+        "ts_intervals": """
+            with med as (select event_type, quantile_cont(value, 0.5) as md from events group by 1),
+            demand as (
+                select e.event_type,
+                       case when e.value > m.md then e.value else 0.0 end as demand,
+                       row_number() over (partition by e.event_type order by e.ts, e.event_id) as rn
+                from events e join med m using (event_type)
+            ),
+            pos as (
+                select event_type, rn,
+                       rn - row_number() over (partition by event_type order by rn) as island
+                from demand where demand > 0
+            ),
+            runs as (select event_type, island, count(*) as len from pos group by 1, 2)
+            select event_type,
+                   round(0.000001 + avg(len), 6) as intervals_mean,
+                   round(0.000001 + stddev_samp(len), 6) as intervals_sd
+            from runs group by 1
         """,
         "ts_pacf5": """
             with stats as (select event_type, avg(value) as m from events group by 1),

@@ -165,3 +165,36 @@ def acf10_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -
         term = a * a
         total = term if total is None else total + term
     return j.groupBy(*keys).agg(total.alias("x_acf10"))
+
+
+def seas_acf1_df(df: DataFrame, keys: list[str], order: list[str],
+                 freq: int, col: str = "y") -> DataFrame:
+    """Autocorrelation at the first seasonal lag (acf_features 'seas_acf1',
+    tsfeatures.py:98-99), window-native: one lag(freq) column."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    lagged = df.withColumn("_lagm", F.lag(F.col(col), freq).over(w))
+    stats = df.groupBy(*keys).agg(F.avg(F.col(col)).alias("_m"))
+    j = lagged.join(F.broadcast(stats), keys)
+    dev = F.col(col) - F.col("_m")
+    num = F.sum(dev * (F.col("_lagm") - F.col("_m")))
+    den = F.sum(dev * dev)
+    return j.groupBy(*keys).agg(F.try_divide(num, den).alias("seas_acf1"))
+
+
+def intervals_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """intervals_mean / intervals_sd (run lengths of consecutive positive
+    values, tsfeatures.py:425-446) via the gaps-and-islands trick:
+    island id = row_number over all rows minus row_number over positive
+    rows — pure SQL, matches the kernel (which, unlike the reference,
+    does not mutate its input). Semantics note: a series with NO positive
+    values produces no output row (empty group) where the kernel returns
+    (nan, nan); left-join against the key set if those rows are needed."""
+    w_all = Window.partitionBy(*keys).orderBy(*order)
+    pos = df.withColumn("_rn", F.row_number().over(w_all)).where(F.col(col) > 0)
+    w_pos = Window.partitionBy(*keys).orderBy("_rn")
+    islands = pos.withColumn("_island", F.col("_rn") - F.row_number().over(w_pos))
+    runs = islands.groupBy(*keys, "_island").agg(F.count(F.lit(1)).alias("_len"))
+    return runs.groupBy(*keys).agg(
+        F.avg("_len").alias("intervals_mean"),
+        F.stddev_samp("_len").alias("intervals_sd"),
+    )
