@@ -496,6 +496,25 @@ def feats_long_kernels_vs_sql(spark, sf_dir):
     return out.select("unique_id", *[_r(F.col(c), p_).alias(c) for c, p_ in keep.items()])
 
 
+def doc_salted_source_agg(spark, sf_dir):
+    """Hot-key aggregation via two-phase salting (partial agg on
+    (source, salt), final on source) — exact for algebraic aggregates, so
+    the plain GROUP BY oracle must match bit-for-bit. This is the skew
+    pattern the engine applies to hot provenance tags at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn("_salt", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(32)))
+    partial = salted.groupBy("source", "_salt").agg(
+        F.sum("n_chars").alias("_chars"), F.count(F.lit(1)).alias("_docs"),
+        F.max("n_chars").alias("_mx"), F.min("n_chars").alias("_mn"),
+    )
+    return partial.groupBy("source").agg(
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_docs").alias("n_docs"),
+        F.max("_mx").alias("max_chars"),
+        F.min("_mn").alias("min_chars"),
+    )
+
+
 def doc_exact_dedup(spark, sf_dir):
     from tsfeatures_spark.operators.dedup import exact_dedup
 
@@ -709,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_rmsse": m_rmsse,
         "m_mini_owa": m_mini_owa,
         "feats_long_kernels_vs_sql": feats_long_kernels_vs_sql,
+        "doc_salted_source_agg": doc_salted_source_agg,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -1174,6 +1194,11 @@ def oracle_sql() -> dict[str, str]:
                    round(0.000001 + t.lumpiness, 2) as lumpiness
             from base b join crossings c using (unique_id)
                         join tilestats t using (unique_id)
+        """,
+        "doc_salted_source_agg": """
+            select source, sum(n_chars)::bigint as total_chars, count(*) as n_docs,
+                   max(n_chars) as max_chars, min(n_chars) as min_chars
+            from documents group by 1
         """,
         "doc_exact_dedup": """
             with doubled as (
