@@ -203,8 +203,10 @@ def q_semi_join_big_customers(spark, sf_dir):
     global average order price."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
-    avg_price = od.agg(F.avg("o_totalprice")).collect()[0][0]
-    big = od.where(F.col("o_totalprice") > float(avg_price))
+    # scalar aggregate stays IN the plan (broadcast NLJ against a 1-row
+    # side) — no driver collect, the whole query is one job
+    avg_price = od.agg(F.avg("o_totalprice").alias("_ap"))
+    big = od.join(F.broadcast(avg_price)).where(F.col("o_totalprice") > F.col("_ap"))
     return (
         cu.join(big, cu.c_custkey == big.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
@@ -426,8 +428,29 @@ def m_pointwise_metrics(spark, sf_dir):
     )
 
 
+def _degen_series(spark):
+    """20-row series whose train span (16 rows) < seasonality (24): the
+    seasonal-naive scale is undefined, so the reference yields NaN
+    (np.mean of an empty diff). Exercises the scaled metrics' left-join
+    NaN path; values are exact binary fractions on both engines."""
+    return spark.range(1, 21).select(
+        F.lit("zz_degen").alias("unique_id"),
+        (F.col("id") * 0.5).alias("y"),
+        F.col("id").cast("int").alias("ds"),
+        (F.col("id") * 0.25).alias("y_hat"),
+        (F.col("id") * 0.125).alias("y_bench"),
+    )
+
+
+_DEGEN_SQL = """
+    select 'zz_degen' as unique_id, r * 0.5 as y, r::int as ds,
+           r * 0.25 as y_hat, r * 0.125 as y_bench
+    from range(1, 21) t(r)
+"""
+
+
 def _split_panel(spark, sf_dir):
-    p = _event_panel(spark, sf_dir)
+    p = _event_panel(spark, sf_dir).unionByName(_degen_series(spark), allowMissingColumns=True)
     n = p.groupBy("unique_id").agg(F.count(F.lit(1)).alias("_n"))
     p = p.join(F.broadcast(n), "unique_id").withColumn("_cut", F.floor(0.8 * F.col("_n")))
     train = p.where(F.col("ds") <= F.col("_cut")).select("unique_id", "ds", "y")
@@ -444,7 +467,9 @@ def m_mase(spark, sf_dir):
         test.select("unique_id", "ds", "y_hat"),
         "mase", y_train=train, seasonality=24,
     )
-    return out.select("unique_id", _r(F.col("error"), 4).alias("mase"))
+    # NaN (undefined seasonal scale) -> NULL so the value-hash agrees with
+    # the SQL oracle's NULL-producing left join
+    return out.select("unique_id", F.when(~F.isnan("error"), _r(F.col("error"), 4)).alias("mase"))
 
 
 def m_rmsse(spark, sf_dir):
@@ -456,7 +481,7 @@ def m_rmsse(spark, sf_dir):
         test.select("unique_id", "ds", "y_hat"),
         "rmsse", y_train=train, seasonality=24,
     )
-    return out.select("unique_id", _r(F.col("error"), 4).alias("rmsse"))
+    return out.select("unique_id", F.when(~F.isnan("error"), _r(F.col("error"), 4)).alias("rmsse"))
 
 
 def m_mini_owa(spark, sf_dir):
@@ -470,7 +495,7 @@ def m_mini_owa(spark, sf_dir):
         "mini_owa", y_train=train, seasonality=24,
         y_bench=test.select("unique_id", "ds", F.col("y_bench").alias("y_hat")),
     )
-    return out.select("unique_id", _r(F.col("error"), 5).alias("mini_owa"))
+    return out.select("unique_id", F.when(~F.isnan("error"), _r(F.col("error"), 5)).alias("mini_owa"))
 
 
 def feats_long_kernels_vs_sql(spark, sf_dir):
@@ -597,7 +622,20 @@ def emb_dup_pairs(spark, sf_dir):
     from tsfeatures_spark.operators.dedup import embedding_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs(e, threshold=0.9)
+    # block_bits=0 = exact all-pairs, opted into HERE because this query is
+    # the DuckDB-oracle-checked exactness gate; the operator's DEFAULT is
+    # the LSH-blocked path (see emb_dup_pairs_lsh for it under the driver)
+    out = embedding_dup_pairs(e, threshold=0.9, block_bits=0)
+    return out.select("id_a", "id_b", _r(F.col("cos_sim"), 5).alias("cos_sim"))
+
+
+def emb_dup_pairs_lsh(spark, sf_dir):
+    """The operator's scale-path DEFAULT (hyperplane-LSH blocked join) —
+    rows-only here; recall vs the exact path is pinned in pytest."""
+    from tsfeatures_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(e, threshold=0.9, block_bits=6, dim=64)
     return out.select("id_a", "id_b", _r(F.col("cos_sim"), 5).alias("cos_sim"))
 
 
@@ -624,7 +662,7 @@ def emb_ann_lsh(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, bits=6)
+    return lsh_topk(e, q, k=5, bits=6, dim=64)
 
 
 def multimodal_decode(spark, sf_dir):
@@ -741,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
         "multimodal_decode": multimodal_decode,
         "feats_wide_documents": feats_wide_documents,
         "tok_rollup_tiers": tok_rollup_tiers,
@@ -1093,7 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1
         """,
         "m_mase": f"""
-            with panel as ({_PANEL_SQL}),
+            with panel as ({_PANEL_SQL} union all {_DEGEN_SQL}),
             counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
             train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
             test as (select p.* from panel p join counts c using (unique_id)
@@ -1104,10 +1143,10 @@ def oracle_sql() -> dict[str, str]:
                     from train) where ly is not null group by 1
             )
             select t.unique_id, round(0.000001 + 100 * avg(abs(t.y - t.y_hat)) / max(s.s), 4) as mase
-            from test t join scale s using (unique_id) group by 1
+            from test t left join scale s using (unique_id) group by 1
         """,
         "m_rmsse": f"""
-            with panel as ({_PANEL_SQL}),
+            with panel as ({_PANEL_SQL} union all {_DEGEN_SQL}),
             counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
             train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
             test as (select p.* from panel p join counts c using (unique_id)
@@ -1119,10 +1158,10 @@ def oracle_sql() -> dict[str, str]:
             )
             select t.unique_id,
                    round(0.000001 + 100 * sqrt(avg((t.y - t.y_hat) * (t.y - t.y_hat)) / max(s.s)), 4) as rmsse
-            from test t join scale s using (unique_id) group by 1
+            from test t left join scale s using (unique_id) group by 1
         """,
         "m_mini_owa": f"""
-            with panel as ({_PANEL_SQL}),
+            with panel as ({_PANEL_SQL} union all {_DEGEN_SQL}),
             counts as (select unique_id, floor(0.8 * count(*)) as cut from panel group by 1),
             train as (select p.* from panel p join counts c using (unique_id) where ds <= cut),
             test as (select p.* from panel p join counts c using (unique_id)
@@ -1143,8 +1182,10 @@ def oracle_sql() -> dict[str, str]:
                 from test group by 1
             )
             select m.unique_id,
-                   round(0.000001 + ((mae_m / mae_b) + (smape_m / smape_b)) / 2, 5) as mini_owa
-            from m join scale s using (unique_id)
+                   case when s.s is null then null
+                        else round(0.000001 + ((mae_m / mae_b) + (smape_m / smape_b)) / 2, 5)
+                   end as mini_owa
+            from m left join scale s using (unique_id)
         """,
         "feats_long_kernels_vs_sql": f"""
             with panel as ({_PANEL_SQL}),

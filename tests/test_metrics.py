@@ -71,3 +71,53 @@ def test_unknown_metric_raises(spark, panel):
     y_hat = spark.createDataFrame(pd.DataFrame(rh, columns=["unique_id", "ds", "y_hat"]))
     with pytest.raises(ValueError, match="unknown metric"):
         evaluate_panel(y_test, y_hat, "nope")
+
+
+def _panel_df(spark, uid, ds, y, colname="y"):
+    return spark.createDataFrame(
+        pd.DataFrame({"unique_id": uid, "ds": ds, colname: y})
+    )
+
+
+def test_evaluate_panel_validation_raises_reference_errors(spark):
+    """Reference metrics.py:321-322 asserts equal lengths and uid sets;
+    the distributed check must raise the same messages."""
+    t = _panel_df(spark, ["a"] * 3 + ["b"] * 3, [1, 2, 3] * 2, [1.0] * 6)
+    h_short = _panel_df(spark, ["a"] * 3 + ["b"] * 2, [1, 2, 3, 1, 2], [1.0] * 5, "y_hat")
+    with pytest.raises(ValueError, match="not same length"):
+        evaluate_panel(t, h_short, "mse")
+    h_wrong_uid = _panel_df(spark, ["a"] * 3 + ["c"] * 3, [1, 2, 3] * 2, [1.0] * 6, "y_hat")
+    with pytest.raises(ValueError, match="not same u_ids"):
+        evaluate_panel(t, h_wrong_uid, "mse")
+    # matched panels evaluate unchanged
+    h_ok = _panel_df(spark, ["a"] * 3 + ["b"] * 3, [1, 2, 3] * 2, [1.5] * 6, "y_hat")
+    out = evaluate_panel(t, h_ok, "mse").toPandas()
+    assert len(out) == 2 and np.allclose(out["error"], 0.25)
+
+
+def test_scaled_metrics_nan_for_short_train_span(spark):
+    """Series whose train span < seasonality: the reference's seasonal-naive
+    scale is np.mean of an EMPTY diff = NaN -> mase/rmsse/mini_owa NaN.
+    An inner join would silently DROP the series instead."""
+    uid = ["ok"] * 30 + ["short"] * 4 + ["flat"] * 30
+    ds_tr = list(range(1, 31)) + [1, 2, 3, 4] + list(range(1, 31))
+    y_tr = [i % 7 + 0.1 * i for i in range(30)] + [1.0, 2.0, 3.0, 4.0] + [5.0] * 30
+    train = _panel_df(spark, uid, ds_tr, y_tr)
+    uid_t = ["ok", "ok", "short", "short", "flat", "flat"]
+    test = _panel_df(spark, uid_t, [31, 32, 5, 6, 31, 32], [3.0, 4.0, 5.0, 6.0, 5.0, 5.0])
+    hat = _panel_df(spark, uid_t, [31, 32, 5, 6, 31, 32], [2.5, 4.5, 5.5, 6.5, 4.0, 6.0], "y_hat")
+    bench = _panel_df(spark, uid_t, [31, 32, 5, 6, 31, 32], [2.0, 5.0, 4.0, 7.0, 3.0, 7.0], "y_hat")
+    for metric in ("mase", "rmsse", "mini_owa"):
+        out = evaluate_panel(
+            test, hat, metric, y_train=train, seasonality=7,
+            y_bench=bench if metric == "mini_owa" else None,
+        ).toPandas().set_index("unique_id")["error"]
+        assert set(out.index) == {"ok", "short", "flat"}, f"{metric} dropped a series"
+        assert np.isfinite(out["ok"]), metric
+        assert np.isnan(out["short"]), f"{metric} must be NaN for short train span"
+        if metric in ("mase", "rmsse"):
+            # constant train -> zero seasonal scale -> inf, as np.mean/0.0
+            assert np.isinf(out["flat"]), f"{metric} must be inf for zero scale"
+        else:
+            # mini_owa: inf/inf mase ratio -> NaN (NumPy semantics)
+            assert np.isnan(out["flat"])

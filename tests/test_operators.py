@@ -271,3 +271,86 @@ def test_near_dup_pipeline_end_to_end(spark):
     # of the planted pair is ~0.42 despite ~0.65 char-shingle similarity
     assert set(zip(out.id_a, out.id_b)) == {("d1", "d2")}
     assert out.iloc[0]["jaccard"] > 0.35
+
+
+def test_rebalance_by_cost_balances_and_avoids_global_window(spark):
+    """Cost-balanced repartition: every partition's token mass stays near
+    total/n, rows survive intact, and the plan contains NO unpartitioned
+    full-table window (the single-task scale-killer)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsfeatures_spark.operators.skew import rebalance_by_cost
+
+    # skewed costs: 3 giants + 197 small docs
+    rows = [(f"d{i:03d}", 100_000 if i < 3 else 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    n_parts = 8
+    out = rebalance_by_cost(df, n_parts, "n_tok")
+    assert out.count() == 200
+    per = (
+        out.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p").agg(F.sum("n_tok").alias("c")).toPandas()
+    )
+    total = 3 * 100_000 + 197 * 500
+    per_part = total // n_parts + 1
+    # no partition may exceed one quantum + the largest single row
+    assert per["c"].max() <= per_part + 100_000
+    # the only Window.orderBy without partitionBy acts on the B-row offset
+    # aggregate, never on the full input: check the input-side window is
+    # partitioned
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    full_table_windows = [w for w in windows if "n_tok" in w and "partitionBy" not in w and "_bkt" not in w]
+    assert not full_table_windows, f"unpartitioned window over the data: {full_table_windows}"
+
+
+def test_ngram_jaccard_max_df_bounds_posting_lists(spark):
+    """With a df cap, hot grams are dropped from the gram universe on BOTH
+    sides of the jaccard; pairs supported only by boilerplate disappear
+    while genuinely-overlapping pairs survive."""
+    from tsfeatures_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [(f"d{i}", boiler) for i in range(10)]
+    rows += [("x1", "alpha beta gamma delta epsilon zeta"),
+             ("x2", "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = ngram_jaccard_pairs(df, max_df=None, min_jaccard=0.1).toPandas()
+    capped = ngram_jaccard_pairs(df, max_df=5, min_jaccard=0.1).toPandas()
+    # boilerplate grams have df=10 > 5: the 45 boiler-boiler pairs vanish
+    assert len(exact) >= 45
+    boiler_pairs = capped[capped.id_a.str.startswith("d") & capped.id_b.str.startswith("d")]
+    assert len(boiler_pairs) == 0
+    # the informative near-dup pair survives with its exact jaccard
+    xp = capped[(capped.id_a == "x1") & (capped.id_b == "x2")]
+    assert len(xp) == 1
+    ex = exact[(exact.id_a == "x1") & (exact.id_b == "x2")]
+    assert abs(float(xp.jaccard.iloc[0]) - float(ex.jaccard.iloc[0])) < 1e-12
+
+
+def test_embedding_dup_pairs_lsh_default_recall(spark):
+    """The DEFAULT path must be the LSH-blocked join (no crossJoin in the
+    plan) and must recover planted near-duplicates."""
+    import numpy as np
+
+    from tsfeatures_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation -> cosine ~ 1
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=1e-3, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = embedding_dup_pairs(df, threshold=0.99, dim=16)  # defaults: block_bits=8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pdf = out.toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pdf.id_a, pdf.id_b)}
+    planted = {(i, 100 + i) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"

@@ -66,3 +66,33 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert cat.read(spark, "tokens").count() == n1 + 5
     hist = cat.history("tokens")
     assert [h["snapshot_id"] for h in hist] == [v1, v2]
+
+
+def test_crash_between_data_and_lineage_commits_heals_on_resume(spark, tmp_path):
+    """The crash window the lineage design must survive: wave data committed,
+    lineage append lost. Resume must NOT reprocess those buckets (which would
+    append duplicate tier rows); it backfills the missing lineage rows and
+    continues — final state equals an uninterrupted run."""
+    cat_a = IcebergLiteCatalog(str(tmp_path / "wh_a"))
+    bootstrap_tokens(spark, cat_a, "tokens", n_docs=40, n_buckets=8, mean_len=500)
+    ResumableRollupJob(spark, cat_a, "tokens", n_buckets=8, waves=4).run()
+
+    cat_b = IcebergLiteCatalog(str(tmp_path / "wh_b"))
+    bootstrap_tokens(spark, cat_b, "tokens", n_docs=40, n_buckets=8, mean_len=500)
+    job_b = ResumableRollupJob(spark, cat_b, "tokens", n_buckets=8, waves=4)
+    with pytest.raises(RuntimeError, match="between data and lineage"):
+        job_b.run(fail_between_commits=2)
+    # wave 2's data IS committed but its lineage rows are MISSING
+    assert len(job_b.completed_buckets()) == 2
+    snaps = [s for s in cat_b.history("tiers") if s.get("meta", {}).get("buckets")]
+    assert len(snaps) == 2  # two data commits on disk
+
+    res_b = job_b.run(resume=True)
+    assert res_b["waves_run"] == 2  # only waves 3+4 processed — no rework
+
+    a = _table_state(spark, cat_a, "tiers")
+    b = _table_state(spark, cat_b, "tiers")
+    assert a.equals(b), "healed run diverged (duplicate tier rows?)"
+    lin_a = cat_a.read(spark, "lineage").select("bucket", "n_docs", "n_windows", "content_digest").toPandas().sort_values("bucket").reset_index(drop=True)
+    lin_b = cat_b.read(spark, "lineage").select("bucket", "n_docs", "n_windows", "content_digest").toPandas().sort_values("bucket").reset_index(drop=True)
+    assert lin_a.equals(lin_b)

@@ -52,32 +52,44 @@ def acf_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
 
 
 def pacf_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
-    """Parity: tsfeatures.py:505-576 (method='ldb')."""
+    """Parity: tsfeatures.py:505-576 (method='ldb').
+
+    Short-series semantics match the reference exactly: statsmodels
+    ``pacf`` raises when nlags >= n//2, and the reference wraps EACH pacf
+    call in its own try/except (tsfeatures.py:533-536,548-551,559-562), so
+    a failing lag config NaNs only its own field, never the whole kernel.
+    """
     m = int(freq)
     n = len(x)
     nlags_ = max(m, 5)
-    pacfx = st.pacf_ldb(x, min(nlags_, max(n - 1, 1))) if n > 1 else np.array([np.nan])
-    if n > 5 and not np.all(np.isnan(pacfx)):
-        pacf_5 = float(np.nansum(pacfx[1:6] ** 2)) if np.isfinite(pacfx[1:6]).all() else float(np.sum(pacfx[1:6] ** 2))
+    # statsmodels pacf requires nlags < n//2; the reference catches the
+    # raise and leaves pacfx = NaN (tsfeatures.py:533-538)
+    pacfx = st.pacf_ldb(x, nlags_) if (n > 1 and nlags_ < n // 2) else None
+    if n > 5 and pacfx is not None and not np.all(np.isnan(pacfx)):
+        pacf_5 = float(np.sum(pacfx[1:6] ** 2))
     else:
         pacf_5 = np.nan
-    if n > 6:
-        d1 = st.pacf_ldb(np.diff(x, n=1), 5)
-        diff1_pacf_5 = float(np.sum(d1[1:6] ** 2))
-    else:
-        diff1_pacf_5 = np.nan
-    if n > 7:
-        d2 = st.pacf_ldb(np.diff(x, n=2), 5)
-        diff2_pacf_5 = float(np.sum(d2[1:6] ** 2))
-    else:
-        diff2_pacf_5 = np.nan
+    diff1_pacf_5 = np.nan
+    if n > 6 and 5 < (n - 1) // 2:
+        try:
+            d1 = st.pacf_ldb(np.diff(x, n=1), 5)
+            diff1_pacf_5 = float(np.sum(d1[1:6] ** 2))
+        except Exception:
+            pass
+    diff2_pacf_5 = np.nan
+    if n > 7 and 5 < (n - 2) // 2:
+        try:
+            d2 = st.pacf_ldb(np.diff(x, n=2), 5)
+            diff2_pacf_5 = float(np.sum(d2[1:6] ** 2))
+        except Exception:
+            pass
     out = {
         "x_pacf5": pacf_5,
         "diff1x_pacf5": diff1_pacf_5,
         "diff2x_pacf5": diff2_pacf_5,
         "seas_pacf": np.nan,
     }
-    if m > 1:
+    if m > 1 and pacfx is not None:
         out["seas_pacf"] = float(pacfx[m]) if len(pacfx) > m else np.nan
     return out
 
@@ -255,9 +267,18 @@ def hurst(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
 
 def guerrero(x: np.ndarray, freq: int = 1, lower: float = -1, upper: float = 2) -> Dict[str, float]:
     """Parity: tsfeatures.py:245-276 (bounded scalar minimisation of the
-    Guerrero coefficient of variation over Box-Cox lambda)."""
+    Guerrero coefficient of variation over Box-Cox lambda).
+
+    ``period`` is passed verbatim as the reference does (tsfeatures.py:272
+    uses period=freq); at freq=1 the singleton splits make nanstd(ddof=1)
+    NaN, so the result is NaN — matched here (no period floor)."""
     try:
-        _, fx = st.fminbound(lambda lam: st.lambda_coef_var(lam, x=x, period=max(int(freq), 2) if freq > 1 else 2), lower, upper)
+        period = int(freq)
+        # freq=1 degenerates to all-NaN subseries ratios in the reference;
+        # short-circuit the pointless 500-eval minimisation
+        if period <= 1 and len(x) >= 2:
+            return {"guerrero": float(st.lambda_coef_var(lower, x=np.asarray(x, dtype=float), period=1))}
+        _, fx = st.fminbound(lambda lam: st.lambda_coef_var(lam, x=x, period=period), lower, upper)
         return {"guerrero": float(fx)}
     except Exception:
         return {"guerrero": np.nan}

@@ -216,11 +216,14 @@ def hurst_exponent(x: np.ndarray) -> float:
         r_t = _range_adjusted_walk(y, mean_t)
         r_s = np.log(r_t / s_t)[1:]
     logt = np.log(t)[1:]
-    ok = np.isfinite(r_s)
-    if ok.sum() < 2:
-        raise ValueError("degenerate hurst input")
-    A = np.column_stack([logt[ok], np.ones(int(ok.sum()))])
-    h, _ = np.linalg.lstsq(A, r_s[ok], rcond=-1)[0]
+    if not np.isfinite(r_s).all():
+        # Reference parity (utils.py:156-161): the reference regresses on the
+        # RAW log(r/s) vector; any non-finite term (e.g. a degenerate prefix
+        # with x[0]==x[1]) makes its lstsq raise/NaN and the kernel wrapper
+        # returns NaN — propagate instead of silently filtering.
+        raise ValueError("non-finite log(r/s) term (reference returns NaN)")
+    A = np.column_stack([logt, np.ones(logt.size)])
+    h, _ = np.linalg.lstsq(A, r_s, rcond=-1)[0]
     return float(h)
 
 

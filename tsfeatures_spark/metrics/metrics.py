@@ -60,6 +60,48 @@ def _seasonal_scale(y_train: DataFrame, seasonality: int, squared: bool,
     return lagged.groupBy(id_col).agg(agg.alias("_scale"))
 
 
+def validate_panel(y_test: DataFrame, y_hat: DataFrame, id_col: str = "unique_id") -> None:
+    """Distributed equivalent of the reference's eager input checks
+    (metrics.py:321-322): equal row counts and equal uid sets. One extra
+    job (full-outer join of two partial-aggregated per-uid counts)."""
+    t = y_test.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    h = y_hat.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nh"))
+    row = (
+        t.join(h, id_col, "full_outer")
+        .agg(
+            F.sum(F.when(F.col("_nt").isNull() | F.col("_nh").isNull(), 1).otherwise(0)).alias("uid_mismatch"),
+            (F.sum(F.coalesce(F.col("_nt"), F.lit(0))) - F.sum(F.coalesce(F.col("_nh"), F.lit(0)))).alias("len_diff"),
+        )
+        .collect()[0]
+    )
+    if row["uid_mismatch"]:
+        raise ValueError("not same u_ids")  # reference metrics.py:322
+    if row["len_diff"] != 0:
+        raise ValueError("not same length")  # reference metrics.py:321
+
+
+def _nan_if_null(c: Column) -> Column:
+    """Missing seasonal scale (train span < seasonality) -> NaN, matching
+    the reference's np.mean(empty)=NaN propagation (metrics.py:149)."""
+    return F.when(c.isNull(), F.lit(float("nan"))).otherwise(c)
+
+
+def _ieee_div(num: Column, den: Column) -> Column:
+    """NumPy float-division semantics under Spark-4 ANSI mode (which raises
+    DIVIDE_BY_ZERO even for doubles): x/0 -> signed inf, 0/0 -> NaN — so a
+    zero seasonal scale yields inf MASE exactly as the reference's
+    np.mean(...)/0.0 does (metrics.py:150), instead of failing the job.
+    CASE branches are evaluated lazily, so the raw division never sees a
+    zero divisor."""
+    return (
+        F.when(den == 0,
+               F.when(num == 0, F.lit(float("nan")))
+                .when(num > 0, F.lit(float("inf")))
+                .otherwise(F.lit(float("-inf"))))
+        .otherwise(num / den)
+    )
+
+
 def evaluate_panel(
     y_test: DataFrame,
     y_hat: DataFrame,
@@ -69,12 +111,19 @@ def evaluate_panel(
     y_bench: DataFrame | None = None,
     id_col: str = "unique_id",
     time_col: str = "ds",
+    validate: bool = True,
 ) -> DataFrame:
     """(unique_id, error) per series. Equi-join on (uid, ds) + native agg —
     the reference's index-probe loop (metrics.py:324-341) becomes one
-    broadcast/sort-merge join Catalyst is free to reorder."""
+    broadcast/sort-merge join Catalyst is free to reorder.
+
+    ``validate=True`` replicates the reference's input asserts
+    (metrics.py:321-322) with one extra aggregate job; pass False to skip
+    the pass at very large scale when inputs are known-aligned."""
     if metric not in AVAILABLE_METRICS:
         raise ValueError(f"unknown metric {metric}; available: {AVAILABLE_METRICS}")
+    if validate:
+        validate_panel(y_test, y_hat, id_col)
     j = y_test.join(y_hat, [id_col, time_col])
     if metric == "mse":
         return j.groupBy(id_col).agg(mse_expr().alias("error"))
@@ -92,8 +141,13 @@ def evaluate_panel(
         base = j.groupBy(id_col).agg(
             (mse_expr() if metric == "rmsse" else F.avg(F.abs(F.col("y") - F.col("y_hat")))).alias("_err")
         )
-        out = base.join(F.broadcast(scale), id_col)
-        e = F.sqrt(F.col("_err") / F.col("_scale")) if metric == "rmsse" else F.col("_err") / F.col("_scale")
+        # LEFT join: a series whose train span < seasonality has no scale row;
+        # the reference yields NaN for it (np.mean of an empty diff,
+        # metrics.py:149/176) — an inner join would silently drop the series.
+        out = base.join(F.broadcast(scale), id_col, "left")
+        sc = _nan_if_null(F.col("_scale"))
+        ratio = _ieee_div(F.col("_err"), sc)
+        e = F.sqrt(ratio) if metric == "rmsse" else ratio
         return out.select(id_col, (100.0 * e).alias("error"))
     if metric == "mini_owa":
         assert y_train is not None and seasonality is not None and y_bench is not None
@@ -106,7 +160,13 @@ def evaluate_panel(
             F.avg(F.abs(F.col("y") - F.col("_yb"))).alias("_mae_b"),
             smape_expr("y", "_yb").alias("_smape_b"),
         )
-        out = model.join(bench, id_col).join(F.broadcast(scale), id_col)
-        owa = ((F.col("_mae_m") / F.col("_mae_b")) + (F.col("_smape_m") / F.col("_smape_b"))) / 2.0
+        # Reference computes OWA through the actual MASE values
+        # (metrics.py:213-216): the seasonal scale cancels algebraically in
+        # mase_m/mase_b ONLY when it is finite — a missing/NaN scale must
+        # propagate NaN into the ratio exactly as NaN/NaN does in NumPy.
+        out = model.join(bench, id_col).join(F.broadcast(scale), id_col, "left")
+        sc = _nan_if_null(F.col("_scale"))
+        mase_ratio = _ieee_div(_ieee_div(F.col("_mae_m"), sc), _ieee_div(F.col("_mae_b"), sc))
+        owa = (mase_ratio + _ieee_div(F.col("_smape_m"), F.col("_smape_b"))) / 2.0
         return out.select(id_col, owa.alias("error"))
     raise AssertionError("unreachable")

@@ -157,10 +157,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, block_cols: list[str] | None = None,
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0, max_df: int | None = 10_000) -> DataFrame:
     """EXACT word-n-gram jaccard between documents sharing a block key —
     pure SQL (explode + self-join + groupBy), no UDF, so it has a clean
-    DuckDB oracle. Block on e.g. ['lang'] to bound the pair count."""
+    DuckDB oracle. Block on e.g. ['lang'] to bound the pair count.
+
+    ``max_df`` bounds the posting list of any single gram: the self-join is
+    quadratic in per-gram document frequency, so one boilerplate trigram
+    ("of the and") with 1M postings would emit 5e11 rows. Grams with
+    df > max_df are dropped from the gram UNIVERSE (both the shared count
+    and the per-doc sizes), giving an exact jaccard over the informative
+    grams; when no gram exceeds the cap the result is the plain exact
+    jaccard. Pass max_df=None for the uncapped exact semantics."""
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     grams = F.array_distinct(
         F.transform(
@@ -169,9 +177,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
     )
     base_cols = [id_col] + (block_cols or [])
-    g = df.select(*base_cols, grams.alias("grams"), F.size(grams).alias("n_grams"))
-    ex = g.select(*base_cols, "n_grams", F.explode("grams").alias("gram"))
     join_keys = ["gram"] + (block_cols or [])
+    g = df.select(*base_cols, grams.alias("grams"))
+    ex = g.select(*base_cols, F.explode("grams").alias("gram"))
+    if max_df is not None:
+        # document frequency per (gram, block); partial-aggregated groupBy,
+        # then an equi-join back on the same key Catalyst co-partitions with
+        # the pair self-join below
+        dfreq = ex.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(dfreq.where(F.col("_df") <= max_df).select(*join_keys), join_keys)
+    # per-doc gram counts AFTER the cap so union sizes match the capped universe
+    counts = ex.groupBy(*base_cols).agg(F.count(F.lit(1)).alias("n_grams"))
+    ex = ex.join(counts, base_cols)
     shared = (
         ex.alias("l").join(ex.alias("r"), join_keys)
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -217,20 +234,29 @@ def near_dup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                        threshold: float = 0.95, block_bits: int = 0, seed: int = 42) -> DataFrame:
+                        threshold: float = 0.95, block_bits: int = 8, seed: int = 42,
+                        dim: int | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
-    block_bits=0 -> exact all-pairs (test scale); block_bits=k -> LSH
-    hyperplane prefilter (scale path, recall < 1)."""
+
+    DEFAULT is the scale path: ``block_bits`` hyperplane-LSH buckets and a
+    bucket-equi-join, so the pair space is sum of per-bucket squares, never
+    the global crossJoin (near-dup vectors land in the same bucket with
+    high probability; recall < 1 by construction — raise block_bits for
+    smaller buckets / lower recall, or multi-probe upstream).
+    ``block_bits=0`` opts INTO the exact all-pairs crossJoin — test/oracle
+    mode only; at 100 TB that plan is quadratic and must not be default.
+    Pass ``dim`` to keep the builder action-free (else a one-row probe)."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     d = df.select(F.col(id_col), F.col(vec_col))
     if block_bits > 0:
-        d = d.withColumn("_bkt", hyperplane_bucket(vec_col, block_bits, seed, _dim_of(df, vec_col)))
-        cond = [F.col("l._bkt") == F.col("r._bkt")]
+        dim = dim if dim is not None else _dim_of(df, vec_col)
+        d = d.withColumn("_bkt", hyperplane_bucket(vec_col, block_bits, seed, dim))
+        l, r = d.alias("l"), d.alias("r")
+        pairs = l.join(r, F.col("l._bkt") == F.col("r._bkt"))
     else:
-        cond = []
-    l, r = d.alias("l"), d.alias("r")
-    pairs = l.join(r, cond if cond else None) if cond else l.crossJoin(r)
+        l, r = d.alias("l"), d.alias("r")
+        pairs = l.crossJoin(r)
     pairs = pairs.where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     cos = cosine_expr(f"l.{vec_col}", f"r.{vec_col}")
     return pairs.select(

@@ -99,7 +99,11 @@ def features_long(
     schema = _schema(id_col, names)
     freqs_map = dict_freqs if dict_freqs is not None else FREQS
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # NOTE: deliberately un-annotated — with `from __future__ import
+    # annotations` in scope, partial string hints make PySpark's eval-type
+    # inference warn on every plan; hint-free signatures take the plain
+    # applyInPandas path silently.
+    def run(key, pdf):
         import warnings
 
         warnings.filterwarnings("ignore")

@@ -75,10 +75,13 @@ def hyperplane_bucket(vec_col: str, bits: int, seed: int, dim: int) -> Column:
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
-             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+             dim: int | None = None) -> DataFrame:
     """Bucketed ANN: join on hyperplane bucket, exact cosine rerank inside.
-    Recall < 1 by construction; bits trades recall vs bucket size."""
-    dim = len(corpus.select(vec_col).first()[0])
+    Recall < 1 by construction; bits trades recall vs bucket size.
+    Pass ``dim`` (embedding width) to keep the builder action-free; when
+    omitted, a one-row fallback probe reads it from the corpus."""
+    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     bkt = hyperplane_bucket(vec_col, bits, seed, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bkt.alias("_bkt"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bkt.alias("_bkt"))

@@ -55,20 +55,82 @@ def split_giant_docs(df: DataFrame, max_tok: int = 4 * DAY) -> DataFrame:
     return small.unionByName(segs)
 
 
-def rebalance_by_cost(df: DataFrame, n_partitions: int, cost_col: str = "n_tok") -> DataFrame:
-    """Cost-aware repartition: order rows by a salted hash, assign partition
-    ids by cumulative cost (each partition gets ~equal token mass), then
-    repartition on that id. Costs one narrow shuffle; prevents a handful
-    of giant docs from landing in the same task."""
+def rebalance_by_cost(df: DataFrame, n_partitions: int, cost_col: str = "n_tok",
+                      id_col: str = "doc_id", oversample: int = 8) -> DataFrame:
+    """Cost-aware repartition: assign partition ids by cumulative cost in a
+    deterministic hash order, so each task gets ~equal token MASS rather
+    than equal row cardinality.
+
+    Two-pass prefix-sum — NO global window (a ``Window.orderBy`` with no
+    partitionBy funnels the whole table through ONE task; at 100 TB that is
+    the job):
+      1. rows are hashed into B = oversample * n_partitions deterministic
+         buckets; per-bucket cost subtotals (one partial-aggregated groupBy
+         over B rows of output) give exclusive cumulative OFFSETS — the
+         running sum over those B rows is driver-scale work, broadcast back;
+      2. within each bucket (a bounded ~1/B slice), a per-bucket window
+         computes the local prefix sum; offset + local prefix = the global
+         cumulative cost, from which the target partition id follows.
+    Every stage is parallel in B; the only serial structure is the B-row
+    offset table. Determinism: bucket AND intra-bucket order derive from
+    xxhash64(id_col), not physical partition ids, so the assignment is
+    stable under AQE/recomputation."""
     from pyspark.sql import Window
 
-    total = df.agg(F.sum(cost_col)).collect()[0][0] or 1
+    spark = df.sparkSession
+    n_buckets = max(n_partitions * oversample, 1)
+    h = F.xxhash64(id_col)
+    d = df.withColumn("_bkt", F.pmod(h, F.lit(n_buckets)))
+    # pass 1: per-bucket cost subtotals — ONE partial-aggregated job whose
+    # result is B rows (driver-scale by construction, B = 8 * n_partitions
+    # regardless of data size); exclusive running offsets computed driver-side
+    sub = {r["_bkt"]: r["_c"] for r in d.groupBy("_bkt").agg(F.sum(cost_col).alias("_c")).collect()}
+    total = sum(sub.values()) or 1
     per_part = max(int(total) // n_partitions + 1, 1)
-    w = Window.orderBy(F.xxhash64("doc_id"))
-    with_part = df.withColumn(
-        "_cum", F.sum(cost_col).over(w)
-    ).withColumn("_pid", (F.col("_cum") / per_part).cast("int"))
-    return with_part.repartition(n_partitions, "_pid").drop("_cum", "_pid")
+    acc = 0
+    off_rows = []
+    for b in sorted(sub):
+        off_rows.append((int(b), int(acc)))
+        acc += int(sub[b])
+    offsets = spark.createDataFrame(off_rows, "_bkt long, _off long")
+    # pass 2: intra-bucket prefix sums shifted by the broadcast offsets; the
+    # window partitions on _bkt, so the sort is parallel in B — no task ever
+    # sees more than ~1/B of the data
+    w_in = Window.partitionBy("_bkt").orderBy(h, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_part = (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_cum", F.col("_off") + F.sum(cost_col).over(w_in))
+        .withColumn("_pid", ((F.col("_cum") - 1) / per_part).cast("int"))
+    )
+    # HashPartitioning murmur-hashes the key, so distinct small pids would
+    # COLLIDE into the same physical partition (2x+ cost hotspots). Remap
+    # each pid to a preimage v with murmur3(v) % n == pid (F.hash is the
+    # same Murmur3(seed=42) HashPartitioning uses), making placement exact.
+    remap = _murmur_preimages(spark, n_partitions)
+    mapping = F.create_map(*[F.lit(x) for kv in remap.items() for x in kv])
+    with_part = with_part.withColumn("_pkey", mapping[F.col("_pid")])
+    return with_part.repartition(n_partitions, "_pkey").drop(
+        "_bkt", "_off", "_cum", "_pid", "_pkey"
+    )
+
+
+def _murmur_preimages(spark, n: int) -> dict[int, int]:
+    """pid -> int v with pmod(murmur3_hash(v), n) == pid, found by scanning
+    a small candidate range with the engine's own F.hash (identical to
+    HashPartitioning's partition-id expression). O(n) driver work."""
+    out: dict[int, int] = {}
+    lo = 0
+    while len(out) < n:
+        cand = spark.range(lo, lo + max(4096, 64 * n)).select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        for r in cand.groupBy("p").agg(F.min("v").alias("v")).collect():
+            out.setdefault(int(r["p"]), int(r["v"]))
+        lo += max(4096, 64 * n)
+    return out
 
 
 def salted_source_agg(df: DataFrame, aggs: list, salt_buckets: int = 32) -> DataFrame:

@@ -57,17 +57,60 @@ class ResumableRollupJob:
             return set()
         return {r.bucket for r in lin.select("bucket").distinct().collect()}
 
+    def _reconcile_orphans(self) -> set[int]:
+        """Heal the crash window BETWEEN the two commits of a wave: tier
+        data committed (snapshot meta carries its buckets) but the lineage
+        append never happened. Without this, resume would reprocess those
+        buckets and append duplicate tier rows. Backfills the missing
+        lineage rows from the committed data (same aggregate as the normal
+        path), so resumed state == uninterrupted run. Returns the healed
+        bucket set."""
+        done = self.completed_buckets()
+        healed: set[int] = set()
+        for snap in self.catalog.history(self.out_table):
+            meta = snap.get("meta") or {}
+            bkts = meta.get("buckets")
+            if not bkts:
+                continue
+            missing = [b for b in bkts if b not in done and b not in healed]
+            if not missing:
+                continue
+            committed = self.catalog.read(self.spark, self.out_table).withColumn(
+                "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets))
+            ).where(F.col("bucket").isin(missing))
+            lin = self._lineage_rows(committed, meta.get("input_snapshot", -1), meta.get("wave", -1))
+            self.catalog.commit(self.spark, self.lineage_table, lin, mode="append")
+            healed.update(missing)
+        return healed
+
+    def _lineage_rows(self, committed, input_sid: int, wave_id: int):
+        return committed.groupBy("bucket").agg(
+            F.lit(input_sid).cast("long").alias("input_snapshot_id"),
+            F.lit(wave_id).cast("long").alias("wave_id"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_windows"),
+            # order-insensitive content digest; the decimal(38,0) sum is
+            # exact and overflow-free to ~1e26 rows per bucket (an int64
+            # sum would overflow — and under ANSI mode fail — at ~2^24)
+            F.sum(F.pmod(F.xxhash64("doc_id", "tier", "window_id", "block_digest"), F.lit(1 << 40)).cast("decimal(38,0)")).alias("content_digest"),
+        )
+
     def _wave_buckets(self) -> list[list[int]]:
         per = max(1, self.n_buckets // self.waves)
         ids = list(range(self.n_buckets))
         return [ids[i : i + per] for i in range(0, len(ids), per)]
 
     # -- main -----------------------------------------------------------------
-    def run(self, resume: bool = True, fail_after_waves: int | None = None) -> dict:
+    def run(self, resume: bool = True, fail_after_waves: int | None = None,
+            fail_between_commits: int | None = None) -> dict:
         """Process all (remaining) waves. ``fail_after_waves`` aborts after k
-        committed waves — the kill-mid-job hook used by the resume test."""
+        fully committed waves; ``fail_between_commits`` aborts the k-th wave
+        AFTER its data commit but BEFORE its lineage commit — the two
+        kill-mid-job hooks used by the resume tests."""
         input_sid = self.catalog.current_snapshot_id(self.tokens_table)
         tokens = self._with_bucket(self.catalog.read(self.spark, self.tokens_table))
+        if resume:
+            self._reconcile_orphans()
         done = self.completed_buckets() if resume else set()
         waves_run = 0
         for wave_id, bucket_ids in enumerate(self._wave_buckets()):
@@ -84,21 +127,16 @@ class ResumableRollupJob:
                 partition_by=["tier"],
                 meta={"wave": wave_id, "buckets": remaining, "input_snapshot": input_sid},
             )
+            if fail_between_commits is not None and waves_run + 1 >= fail_between_commits:
+                raise RuntimeError(
+                    f"simulated failure between data and lineage commits (wave {wave_id})"
+                )
             # lineage/metrics rows from the data just committed (read back the
             # snapshot so the digest reflects what is actually on disk)
             committed = self.catalog.read(self.spark, self.out_table).withColumn(
                 "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets))
             ).where(F.col("bucket").isin(remaining))
-            lin = committed.groupBy("bucket").agg(
-                F.lit(input_sid).cast("long").alias("input_snapshot_id"),
-                F.lit(wave_id).cast("long").alias("wave_id"),
-                F.countDistinct("doc_id").alias("n_docs"),
-                F.count(F.lit(1)).alias("n_windows"),
-                # order-insensitive content digest; mod keeps the ANSI-mode
-                # long sum overflow-free up to ~8e6 rows per bucket... scale
-                # further by widening the mod window at lower collision margin
-                F.sum(F.pmod(F.xxhash64("doc_id", "tier", "window_id", "block_digest"), F.lit(1 << 40))).alias("content_digest"),
-            )
+            lin = self._lineage_rows(committed, input_sid, wave_id)
             self.catalog.commit(self.spark, self.lineage_table, lin, mode="append")
             waves_run += 1
             if fail_after_waves is not None and waves_run >= fail_after_waves:

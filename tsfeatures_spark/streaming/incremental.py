@@ -80,7 +80,10 @@ def incremental_rollup(spark, catalog: IcebergLiteCatalog, tokens_table: str = "
         F.lit(-1).cast("long").alias("wave_id"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.pmod(F.xxhash64("doc_id", "tier", "window_id", "block_digest"), F.lit(1 << 40))).alias("content_digest"),
+        # decimal(38,0) sum: order-insensitive AND overflow-free to ~1e26
+        # rows (an int64 sum of 2^40-bounded terms would overflow — and
+        # under ANSI mode FAIL — at ~2^24 rows per batch)
+        F.sum(F.pmod(F.xxhash64("doc_id", "tier", "window_id", "block_digest"), F.lit(1 << 40)).cast("decimal(38,0)")).alias("content_digest"),
     )
     catalog.commit(spark, lineage_table, lin, mode="append")
     return {"processed_docs": n_docs, "from_snapshot": last, "to_snapshot": current}
