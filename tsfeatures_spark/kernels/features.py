@@ -288,62 +288,118 @@ def guerrero(x: np.ndarray, freq: int = 1, lower: float = -1, upper: float = 2) 
 # Fit-based kernels (Tier C)
 # ---------------------------------------------------------------------------
 
-def _holt_sse(params: np.ndarray, y: np.ndarray) -> float:
-    alpha, beta, l, b = params
-    sse = 0.0
+def _holt_sse_candidates(y: np.ndarray, A: np.ndarray, B: np.ndarray):
+    """SSE of the Holt recursion for a VECTOR of (alpha, beta) candidates,
+    each with its closed-form optimal initial state.
+
+    For fixed smoothing params the recursion is linear in (l0, b0), so the
+    one-step prediction is affine: yhat_t = pU_t*l0 + pV_t*b0 + pW_t, where
+    (pU, pV, pW) follow the same recursion from initial states (1,0), (0,1)
+    and (0,0)-with-input-y. SSE(l0, b0) is therefore an exact 2-parameter
+    least-squares problem per candidate — no optimiser sees the initials at
+    all. One pass over time does vectorized ops across ALL candidates; no
+    per-candidate Python loop (the Tier-C scale requirement).
+    Returns (sse, l0, b0) arrays aligned with A/B."""
+    G = A.shape[0]
+    omA = 1.0 - A
+    omB = 1.0 - B
+    # stacked states: row 0 = response to l0=1, row 1 = to b0=1, row 2 =
+    # zero-initial response to the input y — few numpy dispatches per step
+    L = np.zeros((3, G)); L[0] = 1.0
+    Bm = np.zeros((3, G)); Bm[1] = 1.0
+    M = np.zeros((3, 3, G))  # running sum of outer([pU, pV, d])
     for t in range(y.shape[0]):
-        yhat = l + b
-        e = y[t] - yhat
-        sse += e * e
-        l_new = alpha * y[t] + (1.0 - alpha) * (l + b)
-        b = beta * (l_new - l) + (1.0 - beta) * b
-        l = l_new
-    return sse
+        P = L + Bm
+        v = P.copy()
+        v[2] = y[t] - P[2]
+        M += v[:, None, :] * v[None, :, :]
+        Ln = omA * P
+        Ln[2] += A * y[t]
+        Bm = B * (Ln - L) + omB * Bm
+        L = Ln
+    sUU, sUV, sUd = M[0, 0], M[0, 1], M[0, 2]
+    sVV, sVd, sdd = M[1, 1], M[1, 2], M[2, 2]
+    det = sUU * sVV - sUV * sUV
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l0 = (sUd * sVV - sVd * sUV) / det
+        b0 = (sVd * sUU - sUd * sUV) / det
+        # degenerate normal equations: level-only fallback
+        bad = ~np.isfinite(l0) | ~np.isfinite(b0) | (np.abs(det) < 1e-300)
+        if bad.any():
+            l0 = np.where(bad, np.where(sUU > 0, sUd / np.where(sUU > 0, sUU, 1.0), 0.0), l0)
+            b0 = np.where(bad, 0.0, b0)
+        sse = sdd - l0 * sUd - b0 * sVd
+    return sse, l0, b0
+
+
+def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
+    """Global grid + 2 zoom rounds over (alpha, beta) in [1e-4, 1-1e-4],
+    exact-initial SSE per candidate (see _holt_sse_candidates). Replaces the
+    4-restart Nelder-Mead over (alpha, beta, l0, b0): same objective, finds
+    the global basin deterministically, and is ~50x faster because the
+    per-timestep work is one set of numpy ops across the whole grid."""
+    lo, hi = 1e-4, 1.0 - 1e-4
+    ga = np.linspace(lo, hi, 15)
+    gb = np.linspace(lo, hi, 15)
+    best = (np.inf, 0.5, 0.1)
+    span_a = ga[1] - ga[0]
+    span_b = gb[1] - gb[0]
+    for _round in range(3):
+        A, B = np.meshgrid(ga, gb, indexing="ij")
+        A, B = A.ravel(), B.ravel()
+        sse, _, _ = _holt_sse_candidates(y, A, B)
+        sse = np.where(np.isfinite(sse), sse, np.inf)
+        i = int(np.argmin(sse))
+        if sse[i] < best[0]:
+            best = (float(sse[i]), float(A[i]), float(B[i]))
+        a_c, b_c = best[1], best[2]
+        ga = np.clip(np.linspace(a_c - span_a, a_c + span_a, 7), lo, hi)
+        gb = np.clip(np.linspace(b_c - span_b, b_c + span_b, 7), lo, hi)
+        span_a = ga[1] - ga[0] if ga[1] > ga[0] else span_a / 3
+        span_b = gb[1] - gb[0] if gb[1] > gb[0] else span_b / 3
+    return best[1], best[2]
 
 
 def holt_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
     """Additive-trend exponential smoothing (Holt) parameters by SSE
     minimisation, statsmodels ``ExponentialSmoothing(trend='add').fit()``
     semantics (tsfeatures.py:340-368): box bounds [1e-4, 1-1e-4] on
-    smoothing params, level/trend initials estimated jointly."""
+    smoothing params, level/trend initials exact per candidate (closed-form
+    least squares — the recursion is linear in the initial state)."""
     try:
         y = np.asarray(x, dtype=float)
         n = len(y)
         if n < 4:
             return {"alpha": np.nan, "beta": np.nan}
-        k = min(n, 10)
-        tt = np.arange(1.0, k + 1.0)
-        slope, intercept = np.polyfit(tt, y[:k], 1)
-        lo = np.array([1e-4, 1e-4, -np.inf, -np.inf])
-        hi = np.array([1 - 1e-4, 1 - 1e-4, np.inf, np.inf])
-        best = (None, np.inf)
-        # 4 starts cover the (level-dominant, trend-dominant, both-high)
-        # SSE basins; golden tolerances are ±0.02-0.1 (reference's own)
-        for a0, b0 in ((0.3, 0.05), (0.7, 0.1), (0.95, 0.3), (0.99, 0.99)):
-            p0 = np.array([a0, b0, intercept, slope])
-            p, fx = st.nelder_mead(lambda p: _holt_sse(np.clip(p, lo, hi), y), p0, bounds=(lo, hi), maxiter=300)
-            if fx < best[1]:
-                best = (p, fx)
-        p = best[0]
-        return {"alpha": float(p[0]), "beta": float(p[1])}
+        alpha, beta = _holt_fit_grid(y)
+        return {"alpha": float(alpha), "beta": float(beta)}
     except Exception:
         return {"alpha": np.nan, "beta": np.nan}
 
 
-def _hw_sse(params: np.ndarray, y: np.ndarray, m: int, l0: float, b0: float, s0: np.ndarray) -> float:
-    alpha, beta, gamma = params
-    l, b = l0, b0
-    s = s0.copy()
-    sse = 0.0
+def _hw_sse_candidates(y: np.ndarray, m: int, l0: float, b0: float, s0: np.ndarray,
+                       A: np.ndarray, B: np.ndarray, Gm: np.ndarray) -> np.ndarray:
+    """Additive Holt-Winters SSE for a VECTOR of (alpha, beta, gamma)
+    candidates sharing the heuristic initial state: one pass over time,
+    vectorized across candidates (seasonal state is a (G, m) matrix whose
+    t%m column is touched per step) — no per-candidate Python loop."""
+    G = A.shape[0]
+    L = np.full(G, l0)
+    Bt = np.full(G, b0)
+    S = np.tile(s0, (G, 1))
+    sse = np.zeros(G)
+    omA = 1.0 - A
+    omB = 1.0 - B
+    omG = 1.0 - Gm
     for t in range(y.shape[0]):
-        si = s[t % m]
-        yhat = l + b + si
-        e = y[t] - yhat
+        j = t % m
+        si = S[:, j]
+        e = y[t] - (L + Bt + si)
         sse += e * e
-        l_new = alpha * (y[t] - si) + (1.0 - alpha) * (l + b)
-        b = beta * (l_new - l) + (1.0 - beta) * b
-        s[t % m] = gamma * (y[t] - l_new) + (1.0 - gamma) * si
-        l = l_new
+        Ln = A * (y[t] - si) + omA * (L + Bt)
+        Bt = B * (Ln - L) + omB * Bt
+        S[:, j] = Gm * (y[t] - Ln) + omG * si
+        L = Ln
     return sse
 
 
@@ -366,18 +422,27 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         tt = np.arange(1.0, min(n, 2 * m) + 1.0)
         deseas = y[: len(tt)] - np.tile(s0, 3)[: len(tt)]
         slope, intercept = np.polyfit(tt, deseas, 1)
-        lo = np.array([1e-4] * 3)
-        hi = np.array([1 - 1e-4] * 3)
-        best = (None, np.inf)
-        for p0 in ([0.3, 0.1, 0.1], [0.9, 0.05, 0.2]):
-            p, fx = st.nelder_mead(
-                lambda p: _hw_sse(np.clip(p, lo, hi), y, m, intercept, slope, s0),
-                np.array(p0), bounds=(lo, hi), maxiter=250,
-            )
-            if fx < best[1]:
-                best = (p, fx)
-        p = best[0]
-        return {"hw_alpha": float(p[0]), "hw_beta": float(p[1]), "hw_gamma": float(p[2])}
+        lo, hi = 1e-4, 1.0 - 1e-4
+        # vectorized grid + 2 zoom rounds (same pattern as _holt_fit_grid):
+        # deterministic global search, one time-pass per round
+        ga = np.linspace(lo, hi, 7)
+        gb = np.linspace(lo, hi, 7)
+        gg = np.linspace(lo, hi, 7)
+        best = (np.inf, 0.3, 0.1, 0.1)
+        spans = [ga[1] - ga[0], gb[1] - gb[0], gg[1] - gg[0]]
+        for _round in range(3):
+            A, B, Gm = (v.ravel() for v in np.meshgrid(ga, gb, gg, indexing="ij"))
+            sse = _hw_sse_candidates(y, m, intercept, slope, s0, A, B, Gm)
+            sse = np.where(np.isfinite(sse), sse, np.inf)
+            i = int(np.argmin(sse))
+            if sse[i] < best[0]:
+                best = (float(sse[i]), float(A[i]), float(B[i]), float(Gm[i]))
+            c = best[1:]
+            ga = np.clip(np.linspace(c[0] - spans[0], c[0] + spans[0], 5), lo, hi)
+            gb = np.clip(np.linspace(c[1] - spans[1], c[1] + spans[1], 5), lo, hi)
+            gg = np.clip(np.linspace(c[2] - spans[2], c[2] + spans[2], 5), lo, hi)
+            spans = [max(g[1] - g[0], 1e-6) for g in (ga, gb, gg)]
+        return {"hw_alpha": best[1], "hw_beta": best[2], "hw_gamma": best[3]}
     except Exception:
         return nan
 
@@ -427,9 +492,35 @@ def heterogeneity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         return nan
 
 
+def _garch_negll_candidates(r: np.ndarray, mu: np.ndarray, om: np.ndarray,
+                            al: np.ndarray, be: np.ndarray, h0: float) -> np.ndarray:
+    """Gaussian GARCH(1,1) negative log-likelihood for a VECTOR of
+    (mu, omega, alpha, beta) candidates: the h recursion runs once over
+    time with numpy ops across all candidates (no per-candidate loop)."""
+    n = r.shape[0]
+    h = np.full(mu.shape[0], h0)
+    e = r[0] - mu
+    ll = np.log(h) + e * e / h
+    prev_e2 = e * e
+    for t in range(1, n):
+        h = om + al * prev_e2 + be * h
+        e = r[t] - mu
+        ll += np.log(h) + e * e / h
+        prev_e2 = e * e
+    return 0.5 * ll
+
+
 def _garch11_resid(r: np.ndarray):
     """GARCH(1,1) gaussian MLE; returns mean-model residuals (arch-package
-    ``fit().resid`` is the demeaned series for a constant-mean model)."""
+    ``fit().resid`` is the demeaned series for a constant-mean model).
+
+    Two-stage vectorized profile search replacing Nelder-Mead over 4 params:
+    stage 1 fixes mu = mean and grids (alpha, beta) with variance-targeted
+    omega = var*(1-alpha-beta) (+ one zoom); stage 2 profiles mu on a grid
+    around the mean at the best (alpha, beta). Each stage is one vectorized
+    time-pass (see _garch_negll_candidates) — ~50x the NM speed at equal
+    best-effort quality (the reference's own GARCH path is unrunnable on
+    its pinned deps, SURVEY.md §2.6.9)."""
     r = np.asarray(r, dtype=float)
     n = len(r)
     if n < 20:
@@ -440,22 +531,33 @@ def _garch11_resid(r: np.ndarray):
     if var <= 0:
         return None
 
-    def negll(params):
-        mu, om, al, be = params
-        if om <= 0 or al < 0 or be < 0 or al + be >= 0.9999:
-            return 1e12
-        e = r - mu
-        h = np.empty(n)
-        h[0] = var
-        for t in range(1, n):
-            h[t] = om + al * e[t - 1] ** 2 + be * h[t - 1]
-        if np.any(h <= 0):
-            return 1e12
-        return 0.5 * float(np.sum(np.log(h) + e**2 / h))
+    def _stage_ab(ga: np.ndarray, gb: np.ndarray) -> tuple[float, float, float]:
+        A, B = (v.ravel() for v in np.meshgrid(ga, gb, indexing="ij"))
+        ok = A + B < 0.9999
+        om = np.clip(var * (1.0 - A - B), 1e-12 * max(var, 1.0), None)
+        mu = np.full(A.shape[0], mu0)
+        ll = _garch_negll_candidates(r, mu, om, A, B, var)
+        ll = np.where(ok & np.isfinite(ll), ll, np.inf)
+        i = int(np.argmin(ll))
+        return float(ll[i]), float(A[i]), float(B[i])
 
-    p0 = np.array([mu0, var * 0.1, 0.1, 0.8])
-    p, _ = st.nelder_mead(negll, p0, maxiter=800)
-    return r - p[0]
+    ga = np.linspace(0.0, 0.5, 11)
+    gb = np.linspace(0.0, 0.98, 11)
+    ll1, a1, b1 = _stage_ab(ga, gb)
+    sa, sb = ga[1] - ga[0], gb[1] - gb[0]
+    _, a2, b2 = _stage_ab(
+        np.clip(np.linspace(a1 - sa, a1 + sa, 7), 0.0, 0.9998),
+        np.clip(np.linspace(b1 - sb, b1 + sb, 7), 0.0, 0.9998),
+    )
+    # stage 2: profile the constant mean at the chosen (alpha, beta)
+    se = np.sqrt(var / n)
+    mus = mu0 + np.linspace(-3.0, 3.0, 13) * se
+    om = max(var * (1.0 - a2 - b2), 1e-12 * max(var, 1.0))
+    ll = _garch_negll_candidates(
+        r, mus, np.full(13, om), np.full(13, a2), np.full(13, b2), var
+    )
+    mu_best = float(mus[int(np.nanargmin(ll))])
+    return r - mu_best
 
 
 # ---------------------------------------------------------------------------
@@ -530,32 +632,59 @@ def stl_features(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
     return out
 
 
+def _loess_kvec(n: int, q: int, degree: int, i: int) -> tuple[np.ndarray, int]:
+    """Coefficient vector k (length q) and window start for point i:
+    fitted value = k . y[lo:lo+q]."""
+    half = q // 2
+    lo = max(0, min(i - half, n - q))
+    tt = np.arange(lo, lo + q, dtype=float) - i
+    dmax = max(abs(tt[0]), abs(tt[-1]), 1.0)
+    w = np.clip((1 - np.abs(tt / dmax) ** 3) ** 3, 0, None)
+    if degree == 0:
+        return w / w.sum(), lo
+    A = np.column_stack([np.ones(q), tt] + ([tt**2] if degree == 2 else []))
+    AW = A * w[:, None]
+    rows, *_ = np.linalg.lstsq(AW.T @ A, AW.T, rcond=None)
+    return rows[0], lo
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _loess_solvers(n: int, q: int, degree: int):
+    """Per-(series length, span, degree) solver bundle: the fit is LINEAR in
+    y, so every point's value is a fixed dot product. Interior points share
+    one geometry (k_mid over sliding windows); the <q edge points share the
+    first/last window. Cached because STL calls loess on m cycle-subseries
+    of identical length — 1 solve amortized over the whole decomposition."""
+    half = q // 2
+    lo_int, hi_int = half, n - q + half
+    k_mid = _loess_kvec(n, q, degree, half)[0] if hi_int >= lo_int else None
+    K_left = np.array([_loess_kvec(n, q, degree, i)[0] for i in range(min(half, n))]).reshape(-1, q)
+    K_right = np.array(
+        [_loess_kvec(n, q, degree, i)[0] for i in range(max(hi_int + 1, 0), n)]
+    ).reshape(-1, q)
+    return K_left, k_mid, K_right, lo_int, hi_int
+
+
 def _loess(y: np.ndarray, span_pts: int, degree: int = 1) -> np.ndarray:
     """Local weighted regression over an equally spaced grid (tricube
-    weights), evaluated at every point. O(n*span)."""
+    weights), evaluated at every point. O(n*span) as three BLAS matmuls —
+    zero per-point Python (the fit is linear in y; see _loess_solvers)."""
     n = len(y)
     q = min(max(int(span_pts), degree + 1), max(n, degree + 1))
-    t = np.arange(n, dtype=float)
+    if q > n:
+        q = n
+    K_left, k_mid, K_right, lo_int, hi_int = _loess_solvers(n, q, degree)
     out = np.empty(n)
-    half = q // 2
-    for i in range(n):
-        lo = max(0, min(i - half, n - q))
-        hi = lo + q
-        if hi > n:
-            hi = n
-            lo = max(0, hi - q)
-        tt = t[lo:hi] - i
-        dmax = max(abs(tt[0]), abs(tt[-1]), 1.0)
-        w = (1 - np.abs(tt / dmax) ** 3) ** 3
-        w = np.clip(w, 0, None)
-        if degree == 0:
-            out[i] = float(np.dot(w, y[lo:hi]) / w.sum())
-        else:
-            W = w
-            A = np.column_stack([np.ones_like(tt), tt] + ([tt**2] if degree == 2 else []))
-            AW = A * W[:, None]
-            beta, *_ = np.linalg.lstsq(AW.T @ A, AW.T @ y[lo:hi], rcond=None)
-            out[i] = float(beta[0])
+    if k_mid is not None:
+        windows = np.lib.stride_tricks.sliding_window_view(y, q)
+        out[lo_int : hi_int + 1] = windows @ k_mid
+    if K_left.shape[0]:
+        out[: K_left.shape[0]] = K_left @ y[:q]
+    if K_right.shape[0]:
+        out[n - K_right.shape[0] :] = K_right @ y[n - q :]
     return out
 
 

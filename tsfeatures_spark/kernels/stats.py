@@ -231,8 +231,9 @@ def _range_adjusted_walk(y: np.ndarray, mean_t: np.ndarray) -> np.ndarray:
     """r_t[i] = max_{j<=i}(y_j - t_j*m_i) - min_{j<=i}(y_j - t_j*m_i)."""
     n = y.size
     t = np.arange(1.0, n + 1.0)
-    if n <= 4096:
-        # blocked O(n^2) broadcast — cheap at window scale
+    if n <= 256:
+        # blocked O(n^2) broadcast — cheap at window scale; larger series
+        # take the O(n log n) hull path (110ms -> ~3ms at n=2000)
         out = np.empty(n)
         block = 512
         for s in range(0, n, block):
