@@ -333,6 +333,87 @@ def ts_intervals(spark, sf_dir):
     )
 
 
+def ts_flat_spots(spark, sf_dir):
+    """flat_spots (longest run of equal decile-bin codes) — pure SQL
+    (pd.cut bin rule + double-row_number islands)."""
+    from tsfeatures_spark.functions import flat_spots_df
+
+    ev = _t(spark, sf_dir, "events")
+    return flat_spots_df(ev, ["event_type"], ["ts", "event_id"], "value")
+
+
+def ts_kpss(spark, sf_dir):
+    """KPSS level statistic — cumsum^2 eta + Bartlett-weighted long-run
+    variance over a static 20-lag bank, pure SQL."""
+    from tsfeatures_spark.functions import kpss_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = kpss_df(ev, ["event_type"], ["ts", "event_id"], "value")
+    return out.select("event_type", _r(F.col("unitroot_kpss"), 6).alias("unitroot_kpss"))
+
+
+def ts_unitroot_pp(spark, sf_dir):
+    """Phillips-Perron statistic (the reference's own formula, utils.py:
+    164-213) — closed-form OLS + residual autocovariances, pure SQL."""
+    from tsfeatures_spark.functions import unitroot_pp_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = unitroot_pp_df(ev, ["event_type"], ["ts", "event_id"], "value")
+    return out.select("event_type", _r(F.col("unitroot_pp"), 4).alias("unitroot_pp"))
+
+
+def ts_seas_pacf(spark, sf_dir):
+    """seas_pacf = pacf[m] at the seasonal lag (m=24), via the GENERATED
+    order-24 Levinson-Durbin recursion as pure column arithmetic — the
+    oracle runs the identical generated recursion in DuckDB."""
+    from tsfeatures_spark.functions import pacf_at_lag_df
+
+    ev = _t(spark, sf_dir, "events")
+    out = pacf_at_lag_df(ev, ["event_type"], ["ts", "event_id"], 24, "value")
+    return out.select("event_type", _r(F.col("seas_pacf"), 6).alias("seas_pacf"))
+
+
+# fixture-literal contract: (field, decimals) for ts_fixture_fit_kernels
+_FIXTURE_FIELDS = [
+    ("frequency", 1), ("arch_lm", 6), ("entropy", 6), ("hurst", 6),
+    ("guerrero", 6), ("nonlinearity", 6), ("alpha", 4), ("beta", 4),
+    ("hw_alpha", 4), ("hw_beta", 4), ("hw_gamma", 4),
+    ("arch_acf", 6), ("garch_acf", 6), ("arch_r2", 6), ("garch_r2", 6),
+    ("nperiods", 1), ("seasonal_period", 1), ("trend", 6), ("spike", 8),
+    ("linearity", 4), ("curvature", 4), ("e_acf1", 6), ("e_acf10", 6),
+    ("seasonal_strength", 6), ("peak", 1), ("trough", 1),
+]
+
+
+def ts_fixture_fit_kernels(spark, sf_dir):
+    """Driver-oracle contract for the FIT kernels (arch_stat, entropy,
+    hurst, guerrero, nonlinearity, holt, hw, heterogeneity, stl_features,
+    frequency): run the real distributed kernel path (features_wide
+    mapInPandas) on the reference's canonical parity series (WWWusage /
+    USAccDeaths, reference utils.py:254-268) with the reference's default
+    scale=True; the oracle pins the resulting values as literals. The
+    kernels are deterministic, so any numerical drift fails the gate.
+    NaN (e.g. seasonal fields at freq=1) maps to NULL on both sides."""
+    from tsfeatures_spark.kernels.fixtures import USAccDeaths, WWWusage
+    from tsfeatures_spark.operators.features import features_wide
+
+    rows = [
+        ("USAccDeaths", [float(v) for v in USAccDeaths], 12),
+        ("WWWusage", [float(v) for v in WWWusage], 1),
+    ]
+    df = spark.createDataFrame(rows, "series_id string, tokens array<double>, m int")
+    _t(spark, sf_dir, "events")  # session setup (UTC pin + pkg zip) only
+    feats = ["frequency", "arch_stat", "entropy", "hurst", "guerrero",
+             "nonlinearity", "holt_parameters", "hw_parameters",
+             "heterogeneity", "stl_features"]
+    out = features_wide(df, features=feats, scale=True, id_col="series_id",
+                        value_col="tokens", seasonality_col="m")
+    sel = [F.col("series_id")] + [
+        F.when(~F.isnan(F.col(f)), _r(F.col(f), p)).alias(f) for f, p in _FIXTURE_FIELDS
+    ]
+    return out.select(*sel)
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -757,6 +838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pacf5": ts_pacf5,
         "ts_seas_acf1": ts_seas_acf1,
         "ts_intervals": ts_intervals,
+        "ts_flat_spots": ts_flat_spots,
+        "ts_kpss": ts_kpss,
+        "ts_unitroot_pp": ts_unitroot_pp,
+        "ts_seas_pacf": ts_seas_pacf,
+        "ts_fixture_fit_kernels": ts_fixture_fit_kernels,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
@@ -788,8 +874,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _bartlett_terms_sql(err: str, lagpfx: str, nl: str, n: str) -> str:
+    """The 20 Bartlett-weighted autocovariance terms shared by the KPSS and
+    PP oracles — generated so both engines run the identical formula in the
+    identical order (mirrors kpss_df / unitroot_pp_df)."""
+    return "".join(
+        f" + (case when {k} <= {nl} then (1 - {k}/({nl}+1.0)) * 2.0 / {n}"
+        f" * sum({err}*coalesce({lagpfx}{k},0)) else 0 end)"
+        for k in range(1, 21)
+    )
+
+
+def _kpss_oracle() -> str:
+    lags = ",\n".join(
+        f"lag(e.value - s.m, {k}) over w as el{k}" for k in range(1, 21)
+    )
+    nl = "floor(4 * power(max(n)/100.0, 0.25))"
+    terms = _bartlett_terms_sql("err", "el", nl, "max(n)")
+    return f"""
+        with stats as (select event_type, avg(value) as m, count(*) as n from events group by 1),
+        base as (
+            select e.event_type, e.value - s.m as err, s.n,
+                   sum(e.value - s.m) over (partition by e.event_type
+                       order by e.ts, e.event_id
+                       rows between unbounded preceding and current row) as s_cum,
+                   {lags}
+            from events e join stats s using (event_type)
+            window w as (partition by e.event_type order by e.ts, e.event_id)
+        )
+        select event_type,
+               round(0.000001 + (sum(s_cum*s_cum) / (max(n)*max(n)))
+                     / (sum(err*err)/max(n){terms}), 6) as unitroot_kpss
+        from base group by 1
+    """
+
+
+def _pp_oracle() -> str:
+    lags = ",\n".join(f"lag(res, {k}) over w as rl{k}" for k in range(1, 21))
+    lm = "floor(4 * power((max(n)+1)/100.0, 0.25))"
+    # mirrors unitroot_pp_df: term = (1 - k/(lmax+1)) * (2.0/n) * sum(...)
+    terms = "".join(
+        f" + (case when {k} <= {lm} then (1 - {k}/({lm}+1.0)) * (2.0/max(n))"
+        f" * sum(res*coalesce(rl{k},0)) else 0 end)"
+        for k in range(1, 21)
+    )
+    return f"""
+        with d as (
+            select event_type, value as y,
+                   lag(value) over (partition by event_type order by ts, event_id) as yl,
+                   row_number() over (partition by event_type order by ts, event_id) as rn
+            from events
+        ), dd as (select * from d where yl is not null),
+        g as (
+            select event_type, count(*) as n, sum(y) as sy, sum(yl) as syl,
+                   sum(y*yl) as syyl, sum(yl*yl) as syl2, avg(y) as my
+            from dd group by 1
+        ), gb as (
+            select *, (n*syyl - sy*syl)/(n*syl2 - syl*syl) as b1 from g
+        ), gc as (select *, (sy - b1*syl)/n as b0 from gb),
+        r as (
+            select dd.event_type, dd.y, dd.rn, gc.n, gc.my, gc.b1,
+                   dd.y - gc.b0 - gc.b1*dd.yl as res
+            from dd join gc using (event_type)
+        ), rl as (
+            select *, {lags}
+            from r window w as (partition by event_type order by rn)
+        )
+        select event_type,
+               round(0.000001 + max(n)*(max(b1) - 1.0)
+                     - (0.5*((1.0/(max(n)*sum(res*res)){terms}) - 1.0/(max(n)*sum(res*res))))
+                       / (sum((y - my)*(y - my)) / (max(n)*max(n))), 4) as unitroot_pp
+        from rl group by 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from tsfeatures_spark.functions import pacf_at_lag_sql
+
+    seas_pacf_inner = pacf_at_lag_sql(
+        24, "select event_type, value, ts, event_id from events",
+        "event_type", "ts, event_id", "value",
+    )
     return {
+        "ts_flat_spots": """
+            with stats as (select event_type, min(value) as mn, max(value) as mx
+                           from events group by 1),
+            coded as (
+                select e.event_type,
+                       row_number() over (partition by e.event_type
+                            order by e.ts, e.event_id) as rn,
+                       case when s.mx = s.mn then 0
+                            else greatest(0, least(9,
+                                 cast(ceiling((e.value - s.mn) * 10.0 / (s.mx - s.mn)) as int) - 1))
+                       end as code
+                from events e join stats s using (event_type)
+            ),
+            islands as (
+                select event_type, code,
+                       rn - row_number() over (partition by event_type, code order by rn) as island
+                from coded
+            ),
+            runs as (select event_type, code, island, count(*) as len
+                     from islands group by 1, 2, 3)
+            select event_type, max(len)::double as flat_spots from runs group by 1
+        """,
+        "ts_fixture_fit_kernels": """
+            -- pinned literals: the deterministic kernel outputs on the
+            -- reference parity corpus (regenerate via tools/gen_fixture_oracle.py
+            -- whenever a fit kernel's numerics change intentionally)
+            select * from (values
+            ('USAccDeaths', 12.0::double, 0.545893::double, 0.446158::double, 0.690079::double, 5e-06::double, 0.089512::double, 0.9999::double, 0.0001::double, 0.5833::double, 0.0418::double, 0.0001::double, 0.156537::double, 0.156537::double, 0.12825::double, 0.12825::double, 1.0::double, 12.0::double, 0.888305::double, 1.36e-06::double, -2.3138::double, 2.8745::double, 0.105979::double, 0.115527::double, 0.970457::double, 7.0::double, 2.0::double),
+            ('WWWusage', 1.0::double, 0.989961::double, 0.4408::double, 0.938425::double, cast(null as double), 0.001648::double, 0.9999::double, 0.9999::double, cast(null as double), cast(null as double), cast(null as double), 0.046175::double, 0.046175::double, 0.054769::double, 0.054769::double, 0.0::double, 1.0::double, 0.993048::double, 1.01e-06::double, 4.43::double, 1.0703::double, 0.649958::double, 0.648376::double, cast(null as double), cast(null as double), cast(null as double))
+            ) as t(series_id, frequency, arch_lm, entropy, hurst, guerrero,
+                   nonlinearity, alpha, beta, hw_alpha, hw_beta, hw_gamma,
+                   arch_acf, garch_acf, arch_r2, garch_r2, nperiods,
+                   seasonal_period, trend, spike, linearity, curvature,
+                   e_acf1, e_acf10, seasonal_strength, peak, trough)
+        """,
+        "ts_kpss": _kpss_oracle(),
+        "ts_unitroot_pp": _pp_oracle(),
+        "ts_seas_pacf": f"""
+            select event_type, round(0.000001 + seas_pacf, 6) as seas_pacf
+            from ({seas_pacf_inner})
+        """,
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(0.000001 + sum(l_quantity), 4) as sum_qty,

@@ -198,3 +198,185 @@ def intervals_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y
         F.avg("_len").alias("intervals_mean"),
         F.stddev_samp("_len").alias("intervals_sd"),
     )
+
+
+def flat_spots_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """flat_spots (longest run of equal decile-bin codes, tsfeatures.py:
+    203-225) pure SQL. Bin rule matches pd.cut(x, 10, labels=False): ten
+    right-closed equal-width bins over [min, max]; values at the bottom
+    edge fold into bin 0 (pandas lowers only the first edge by 0.1% of the
+    range). code = clamp(ceil((x - mn) * 10 / range) - 1, 0, 9); islands
+    via the double-row_number trick; constant series (range 0) -> one bin."""
+    c = F.col(col)
+    stats = df.groupBy(*keys).agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    j = df.join(F.broadcast(stats), keys).withColumn("_rn", F.row_number().over(w))
+    rng = F.col("_mx") - F.col("_mn")
+    code = F.when(rng == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(9), (F.ceil((c - F.col("_mn")) * 10.0 / rng) - 1).cast("int")))
+    )
+    coded = j.withColumn("_code", code)
+    w_code = Window.partitionBy(*keys, "_code").orderBy("_rn")
+    islands = coded.withColumn("_island", F.col("_rn") - F.row_number().over(w_code))
+    runs = islands.groupBy(*keys, "_code", "_island").agg(F.count(F.lit(1)).alias("_len"))
+    return runs.groupBy(*keys).agg(F.max("_len").cast("double").alias("flat_spots"))
+
+
+_KPSS_LMAX = 20  # static lag-column cap; per-series nlags gates the weights
+                 # (nlags = 4*(n/100)^0.25 reaches 20 only at n ~ 6e7 rows)
+
+
+def kpss_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """KPSS level-stationarity statistic (statsmodels kpss(regression='c')
+    parity, reference tsfeatures.py:793-816) pure SQL: eta from the running
+    cumsum of demeaned values, long-run variance via Bartlett-weighted
+    autocovariances over a STATIC bank of 20 lag columns, the per-series
+    data-dependent nlags entering only through the weights."""
+    c = F.col(col)
+    stats = df.groupBy(*keys).agg(F.avg(c).alias("_m"), F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    j = df.join(F.broadcast(stats), keys).withColumn("_e", c - F.col("_m"))
+    j = j.withColumn("_s", F.sum("_e").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for k in range(1, _KPSS_LMAX + 1):
+        j = j.withColumn(f"_el{k}", F.lag("_e", k).over(w))
+    eta = F.sum(F.col("_s") * F.col("_s")) / (F.max("_n") * F.max("_n"))
+    s2 = F.sum(F.col("_e") * F.col("_e")) / F.max("_n")
+    nl = F.floor(4.0 * F.pow(F.max("_n") / 100.0, 0.25))
+    terms = [
+        F.when(
+            F.lit(k) <= nl,
+            (1.0 - F.lit(k) / (nl + 1.0)) * 2.0 / F.max("_n")
+            * F.sum(F.col("_e") * F.coalesce(F.col(f"_el{k}"), F.lit(0.0))),
+        ).otherwise(F.lit(0.0))
+        for k in range(1, _KPSS_LMAX + 1)
+    ]
+    total = s2
+    for t in terms:
+        total = total + t
+    return j.groupBy(*keys).agg(F.try_divide(eta, total).alias("unitroot_kpss"))
+
+
+def unitroot_pp_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+    """Phillips-Perron statistic, replicating the reference's own formula
+    (utils.py:164-213, including its idiosyncratic s = 1/(n*sum(res^2)))
+    pure SQL in two aggregate passes: closed-form OLS of y_t on y_{t-1}
+    first, then residual autocovariances over a static 20-lag bank gated
+    by the per-series lmax."""
+    c = F.col(col)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = df.withColumn("_rn", F.row_number().over(w)).withColumn("_yl", F.lag(c).over(w))
+    d = d.where(F.col("_yl").isNotNull()).select(*keys, c.alias("_y"), "_yl", "_rn")
+    # pass 1: closed-form OLS y = b0 + b1*y_l1 (+ the constants reused later)
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_yl").alias("_syl"),
+        F.sum(F.col("_y") * F.col("_yl")).alias("_syyl"),
+        F.sum(F.col("_yl") * F.col("_yl")).alias("_syl2"),
+        F.avg("_y").alias("_my"),
+    ).withColumn(
+        "_b1",
+        F.try_divide(
+            F.col("_n") * F.col("_syyl") - F.col("_sy") * F.col("_syl"),
+            F.col("_n") * F.col("_syl2") - F.col("_syl") * F.col("_syl"),
+        ),
+    ).withColumn("_b0", (F.col("_sy") - F.col("_b1") * F.col("_syl")) / F.col("_n"))
+    # pass 2: residuals + lagged residual coproducts (static 20-lag bank)
+    r = d.join(F.broadcast(g.select(*keys, "_n", "_b0", "_b1", "_my")), keys)
+    r = r.withColumn("_res", F.col("_y") - F.col("_b0") - F.col("_b1") * F.col("_yl"))
+    w2 = Window.partitionBy(*keys).orderBy("_rn")
+    for k in range(1, _KPSS_LMAX + 1):
+        r = r.withColumn(f"_rl{k}", F.lag("_res", k).over(w2))
+    # lmax uses the ORIGINAL series length n+1 (reference computes it before
+    # dropping the first row, utils.py:180)
+    lmax = F.floor(4.0 * F.pow((F.max("_n") + 1) / 100.0, 0.25))
+    n_ = F.max("_n")
+    s = F.try_divide(F.lit(1.0), n_ * F.sum(F.col("_res") * F.col("_res")))
+    myybar = F.sum((F.col("_y") - F.col("_my")) * (F.col("_y") - F.col("_my"))) / (n_ * n_)
+    sig = s
+    for k in range(1, _KPSS_LMAX + 1):
+        term = F.when(
+            F.lit(k) <= lmax,
+            (1.0 - F.lit(k) / (lmax + 1.0)) * (2.0 / n_)
+            * F.sum(F.col("_res") * F.coalesce(F.col(f"_rl{k}"), F.lit(0.0))),
+        ).otherwise(F.lit(0.0))
+        sig = sig + term
+    lambda_ = 0.5 * (sig - s)
+    stat = n_ * (F.max("_b1") - 1.0) - F.try_divide(lambda_, myybar)
+    return r.groupBy(*keys).agg(stat.alias("unitroot_pp"))
+
+
+def pacf_at_lag_df(df: DataFrame, keys: list[str], order: list[str],
+                   lag: int, col: str = "y") -> DataFrame:
+    """Partial autocorrelation AT a given (seasonal) lag — the reference's
+    seas_pacf = pacf(x, nlags=max(m,5), 'ldb')[m] (tsfeatures.py:560-571) —
+    FULLY SQL-native: ``lag`` lag() columns give biased autocorrelations
+    r1..r_lag, then the Levinson-Durbin recursion is GENERATED as column
+    arithmetic up to order ``lag`` (the recursion is scale-invariant, so
+    normalized r's substitute for autocovariances). phi_{m,m} is the
+    answer. O(lag^2) generated columns — ~300 at m=24, built once at plan
+    time."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = df
+    for k in range(1, lag + 1):
+        d = d.withColumn(f"_lag{k}", F.lag(F.col(col), k).over(w))
+    stats = df.groupBy(*keys).agg(F.avg(F.col(col)).alias("_m"))
+    j = d.join(F.broadcast(stats), keys)
+    dev = F.col(col) - F.col("_m")
+    den = F.sum(dev * dev)
+    aggs = [
+        F.try_divide(F.sum(dev * (F.col(f"_lag{k}") - F.col("_m"))), den).alias(f"r{k}")
+        for k in range(1, lag + 1)
+    ]
+    g = j.groupBy(*keys).agg(*aggs)
+    # Levinson-Durbin: phi[k][j]; materialize each order as real columns so
+    # the expression trees stay linear in size
+    g = g.withColumn("p_1_1", F.col("r1")).withColumn("d_1", 1 - F.col("p_1_1") * F.col("r1"))
+    for k in range(2, lag + 1):
+        num = F.col(f"r{k}")
+        for jj in range(1, k):
+            num = num - F.col(f"p_{jj}_{k-1}") * F.col(f"r{k-jj}")
+        g = g.withColumn(f"p_{k}_{k}", F.try_divide(num, F.col(f"d_{k-1}")))
+        for jj in range(1, k):
+            g = g.withColumn(
+                f"p_{jj}_{k}",
+                F.col(f"p_{jj}_{k-1}") - F.col(f"p_{k}_{k}") * F.col(f"p_{k-jj}_{k-1}"),
+            )
+        if k < lag:
+            g = g.withColumn(f"d_{k}", F.col(f"d_{k-1}") * (1 - F.col(f"p_{k}_{k}") * F.col(f"p_{k}_{k}")))
+    return g.select(*keys, F.col(f"p_{lag}_{lag}").alias("seas_pacf"))
+
+
+def pacf_at_lag_sql(lag: int, table_expr: str, key: str, order: str, col: str) -> str:
+    """DuckDB oracle text for ``pacf_at_lag_df`` — the SAME generated
+    Levinson-Durbin recursion as chained CTEs, so both engines execute the
+    identical IEEE-double formula."""
+    lags = ",\n".join(
+        f"lag({col}, {k}) over (partition by {key} order by {order}) as l{k}"
+        for k in range(1, lag + 1)
+    )
+    rs = ",\n".join(
+        f"sum(case when l{k} is not null then ({col}-m)*(l{k}-m) end) / sum(({col}-m)*({col}-m)) as r{k}"
+        for k in range(1, lag + 1)
+    )
+    ctes = [
+        f"base as (select t.*, s.m from ({table_expr}) t join (select {key}, avg({col}) as m from ({table_expr}) group by 1) s using ({key}))",
+        f"lagged as (select {key}, {col}, m, {lags} from base)",
+        f"rs as (select {key}, {rs} from lagged group by 1)",
+        "s1 as (select *, r1 as p_1_1, 1 - r1*r1 as d_1 from rs)",
+    ]
+    prev = "s1"
+    for k in range(2, lag + 1):
+        num = f"r{k}" + "".join(f" - p_{jj}_{k-1}*r{k-jj}" for jj in range(1, k))
+        cols = [f"({num})/d_{k-1} as p_{k}_{k}"]
+        step1 = f"s{k}a as (select *, {', '.join(cols)} from {prev})"
+        updates = [f"p_{jj}_{k-1} - p_{k}_{k}*p_{k-jj}_{k-1} as p_{jj}_{k}" for jj in range(1, k)]
+        if k < lag:
+            updates.append(f"d_{k-1}*(1 - p_{k}_{k}*p_{k}_{k}) as d_{k}")
+        step2 = f"s{k} as (select *, {', '.join(updates)} from s{k}a)"
+        ctes.extend([step1, step2])
+        prev = f"s{k}"
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect {key}, p_{lag}_{lag} as seas_pacf from {prev}"
+    )
