@@ -414,6 +414,20 @@ def ts_fixture_fit_kernels(spark, sf_dir):
     return out.select(*sel)
 
 
+def ts_reshape_roundtrip(spark, sf_dir):
+    """long->wide->long (the reference's M4 wide_to_long ingestion shape,
+    m4_data.py:56-131): the sorted collect_list pivot then posexplode must
+    reproduce the panel exactly — the oracle is the original panel."""
+    from tsfeatures_spark.operators.reshape import long_to_wide, wide_to_long
+
+    p = _event_panel(spark, sf_dir).select("unique_id", "ds", "y")
+    wide = long_to_wide(p, id_col="unique_id")
+    back = wide_to_long(wide, id_col="unique_id", value_col="tokens")
+    return back.select(
+        "unique_id", F.col("ds").cast("long").alias("ds"), _r(F.col("y"), 4).alias("y")
+    )
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -843,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_unitroot_pp": ts_unitroot_pp,
         "ts_seas_pacf": ts_seas_pacf,
         "ts_fixture_fit_kernels": ts_fixture_fit_kernels,
+        "ts_reshape_roundtrip": ts_reshape_roundtrip,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
@@ -990,6 +1005,11 @@ def oracle_sql() -> dict[str, str]:
                    arch_acf, garch_acf, arch_r2, garch_r2, nperiods,
                    seasonal_period, trend, spike, linearity, curvature,
                    e_acf1, e_acf10, seasonal_strength, peak, trough)
+        """,
+        "ts_reshape_roundtrip": f"""
+            with panel as ({_PANEL_SQL})
+            select unique_id, ds::bigint as ds, round(0.000001 + y, 4) as y
+            from panel
         """,
         "ts_kpss": _kpss_oracle(),
         "ts_unitroot_pp": _pp_oracle(),

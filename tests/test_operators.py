@@ -354,3 +354,27 @@ def test_embedding_dup_pairs_lsh_default_recall(spark):
     planted = {(i, 100 + i) for i in range(20)}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_reshape_roundtrip_and_columns(spark):
+    """wide->long->wide is the identity (order restored by the sorted
+    collect), and the M4-CSV column layout converts with NULL tails
+    trimmed."""
+    from tsfeatures_spark.operators.reshape import columns_to_array, long_to_wide, wide_to_long
+
+    rows = [("a", [1.0, 2.0, 3.0]), ("b", [5.0, 4.0])]
+    wide = spark.createDataFrame(rows, "doc_id string, tokens array<double>")
+    long = wide_to_long(wide)
+    assert long.columns == ["doc_id", "ds", "y"]
+    got = {(r.doc_id, r.ds, r.y) for r in long.collect()}
+    assert got == {("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("b", 1, 5.0), ("b", 2, 4.0)}
+    back = long_to_wide(long.repartition(5), id_col="doc_id")
+    assert {(r.doc_id, tuple(r.tokens)) for r in back.collect()} == \
+        {(d, tuple(t)) for d, t in rows}
+    csvish = spark.createDataFrame(
+        [("x", 1.0, 2.0, None), ("y", 7.0, None, None)],
+        "unique_id string, V1 double, V2 double, V3 double",
+    )
+    arr = columns_to_array(csvish, "unique_id", ["V1", "V2", "V3"])
+    assert {(r.unique_id, tuple(r.tokens)) for r in arr.collect()} == \
+        {("x", (1.0, 2.0)), ("y", (7.0,))}
