@@ -428,6 +428,67 @@ def ts_reshape_roundtrip(spark, sf_dir):
     )
 
 
+def ts_asof_hourly_mark(spark, sf_dir):
+    """As-of join (backward): every raw event picks up the latest COMPLETED
+    hourly rollup mark for its type — the continuous-aggregate lookup
+    pattern. Oracle = DuckDB's native ASOF JOIN, an independent
+    implementation of the semantics."""
+    from tsfeatures_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    )
+    hourly = (
+        ev.groupBy("event_type", (F.col("t_us") / F.lit(3_600_000_000)).cast("long").alias("_w"))
+        .agg(F.avg("value").alias("hourly_mean"))
+        .select("event_type", ((F.col("_w") + 1) * F.lit(3_600_000_000)).alias("mark_us"), "hourly_mean")
+    )
+    out = asof_join(ev, hourly, ["event_type"], "t_us", "mark_us", ["hourly_mean"])
+    return out.select(
+        "event_type", "event_id", "t_us",
+        _r(F.col("hourly_mean"), 4).alias("hourly_mean"),
+        F.col("matched_time").alias("mark_us"),
+    )
+
+
+def ts_session_windows(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window (30-min inactivity
+    gap) in batch mode — the same expression drives the streaming path.
+    Oracle: independent gaps-and-islands SQL (session end = last event +
+    gap, Spark's definition)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id",
+        F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+    ).agg(F.count(F.lit(1)).alias("n_events"), _r(F.sum("value")).alias("total_value"))
+    return g.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events", "total_value",
+    )
+
+
+def ts_rolling_1h_mean(spark, sf_dir):
+    """Trailing 1-hour per-event rolling aggregates via a RANGE window
+    frame (time-based, not row-based) — pure codegen'd SQL; DuckDB runs
+    the identical RANGE frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long").alias("t_s"),
+        "value",
+    )
+    w = Window.partitionBy("event_type").orderBy("t_s").rangeBetween(-3599, 0)
+    return ev.select(
+        "event_type", "event_id", "t_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        _r(F.avg("value").over(w), 4).alias("mean_1h"),
+        _r(F.max("value").over(w), 4).alias("max_1h"),
+    )
+
+
 def ts_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)).cast("long")
@@ -825,6 +886,48 @@ def tok_decode_roundtrip(spark, sf_dir):
     )
 
 
+def stream_running_stats(spark, sf_dir):
+    """Custom STATEFUL streaming operator under the oracle gate: events
+    arrive as two waves of files, applyInPandasWithState carries per-key
+    (n, sum, M2, min, max) Chan state across micro-batches, and the FINAL
+    emitted state must equal a from-scratch batch GROUP BY over everything
+    — which is exactly what the DuckDB oracle computes."""
+    import tempfile
+    import uuid as _uuid
+
+    from tsfeatures_spark.streaming.stateful import running_stats_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value", "event_id")
+    tmp = tempfile.mkdtemp(prefix="stream_rs_")
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(tmp + "/landing/a")
+    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(tmp + "/landing/b")
+    schema = ev.drop("event_id").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(tmp + "/landing/*")
+    )
+    qname = f"rs_{_uuid.uuid4().hex[:10]}"
+    q = (
+        running_stats_stream(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    final = spark.table(qname).withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return final.select(
+        "event_type", "n",
+        _r(F.col("total_sum")).alias("total_sum"),
+        _r(F.col("mean"), 4).alias("mean"),
+        _r(F.col("variance"), 2).alias("variance"),
+        _r(F.col("vmin")).alias("vmin"),
+        _r(F.col("vmax")).alias("vmax"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1-minute windowed statistics rollup over events at
     sf0.001 (driver checks rows > 0, stable schema)."""
@@ -858,10 +961,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seas_pacf": ts_seas_pacf,
         "ts_fixture_fit_kernels": ts_fixture_fit_kernels,
         "ts_reshape_roundtrip": ts_reshape_roundtrip,
+        "ts_asof_hourly_mark": ts_asof_hourly_mark,
+        "ts_session_windows": ts_session_windows,
+        "ts_rolling_1h_mean": ts_rolling_1h_mean,
         "ts_rollup_1m": ts_rollup_1m,
         "ts_rollup_1h_cascade": ts_rollup_1h_cascade,
         "ts_gapfill_locf": ts_gapfill_locf,
         "ts_gapfill_linear": ts_gapfill_linear,
+        "stream_running_stats": stream_running_stats,
         "m_pointwise_metrics": m_pointwise_metrics,
         "m_mase": m_mase,
         "m_rmsse": m_rmsse,
@@ -1010,6 +1117,57 @@ def oracle_sql() -> dict[str, str]:
             with panel as ({_PANEL_SQL})
             select unique_id, ds::bigint as ds, round(0.000001 + y, 4) as y
             from panel
+        """,
+        "ts_asof_hourly_mark": """
+            with ev as (
+                select event_type, event_id, epoch_us(ts) as t_us, value from events
+            ), hourly as (
+                select event_type,
+                       (cast(floor(t_us / 3600000000) as bigint) + 1) * 3600000000 as mark_us,
+                       avg(value) as hourly_mean
+                from ev group by 1, 2
+            )
+            select e.event_type, e.event_id, e.t_us,
+                   round(0.000001 + h.hourly_mean, 4) as hourly_mean,
+                   h.mark_us
+            from ev e asof left join hourly h
+                 on e.event_type = h.event_type and e.t_us >= h.mark_us
+        """,
+        "ts_session_windows": """
+            with t as (
+                select user_id, epoch_us(ts) as t_us, value from events
+            ), flagged as (
+                select *, case when t_us - lag(t_us) over (partition by user_id order by t_us)
+                                    > 1800000000 or
+                               lag(t_us) over (partition by user_id order by t_us) is null
+                          then 1 else 0 end as is_start
+                from t
+            ), sess as (
+                select *, sum(is_start) over (partition by user_id order by t_us
+                     rows between unbounded preceding and current row) as sid
+                from flagged
+            )
+            select user_id,
+                   min(t_us) as session_start_us,
+                   max(t_us) + 1800000000 as session_end_us,
+                   count(*) as n_events,
+                   round(0.000001 + sum(value), 4) as total_value
+            from sess group by user_id, sid
+        """,
+        "ts_rolling_1h_mean": """
+            with t as (
+                select event_type, event_id,
+                       cast(floor(epoch_us(ts) / 1000000) as bigint) as t_s,
+                       value
+                from events
+            )
+            select event_type, event_id, t_s,
+                   count(*) over w as n_1h,
+                   round(0.000001 + avg(value) over w, 4) as mean_1h,
+                   round(0.000001 + max(value) over w, 4) as max_1h
+            from t
+            window w as (partition by event_type order by t_s
+                         range between 3599 preceding and current row)
         """,
         "ts_kpss": _kpss_oracle(),
         "ts_unitroot_pp": _pp_oracle(),
@@ -1344,6 +1502,15 @@ def oracle_sql() -> dict[str, str]:
                        else pv + (nv - pv) * (window_id - pt)::double / (nt - pt)
                    end, 5) as mean_filled
             from j
+        """,
+        "stream_running_stats": """
+            select event_type, count(*) as n,
+                   round(0.000001 + sum(value), 4) as total_sum,
+                   round(0.000001 + avg(value), 4) as mean,
+                   round(0.000001 + var_samp(value), 2) as variance,
+                   round(0.000001 + min(value), 4) as vmin,
+                   round(0.000001 + max(value), 4) as vmax
+            from events group by 1
         """,
         "m_pointwise_metrics": f"""
             with panel as ({_PANEL_SQL})

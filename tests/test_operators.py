@@ -378,3 +378,111 @@ def test_reshape_roundtrip_and_columns(spark):
     arr = columns_to_array(csvish, "unique_id", ["V1", "V2", "V3"])
     assert {(r.unique_id, tuple(r.tokens)) for r in arr.collect()} == \
         {("x", (1.0, 2.0)), ("y", (7.0,))}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Semantics pinned against pandas.merge_asof on randomized panels:
+    backward/forward, exact-match on/off, tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from tsfeatures_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    lpdf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 80),
+        "t": rng.choice(np.arange(0, 500), 80, replace=False).astype("int64"),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 40),
+        "t": rng.choice(np.arange(0, 500), 40, replace=False).astype("int64"),
+        "m": rng.normal(size=40),
+    })
+    l = spark.createDataFrame(lpdf)
+    r = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            for tol in (None, 50):
+                got = (
+                    asof_join(l, r, ["k"], "t", "t", ["m"], direction=direction,
+                              tolerance=tol, allow_exact_matches=exact)
+                    .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+                )
+                exp = pd.merge_asof(
+                    lpdf.sort_values("t"), rpdf.sort_values("t"), on="t", by="k",
+                    direction=direction, allow_exact_matches=exact,
+                    tolerance=None if tol is None else tol,
+                ).sort_values(["k", "t"]).reset_index(drop=True)
+                pd.testing.assert_series_equal(
+                    got["m"], exp["m"], check_names=False,
+                    obj=f"asof {direction} exact={exact} tol={tol}",
+                )
+
+
+def test_running_stats_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running stats: state carried ACROSS
+    micro-batches must equal a from-scratch batch aggregate over all data;
+    the watermarked windowed path must equal the batch windowed agg."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsfeatures_spark.streaming.stateful import running_stats_stream, windowed_stats_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    landing = str(tmp_path / "landing")
+    # two arrival waves -> at least two micro-batches worth of files
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(landing + "/a")
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(landing + "/b")
+    schema = ev.drop("event_id").schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(landing + "/*")
+    )
+    q = (
+        running_stats_stream(stream)
+        .writeStream.format("memory").queryName("runstats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("runstats").toPandas()
+    # memory sink accumulates every update; the FINAL state per key is the
+    # row with the largest n
+    got = got.sort_values("n").groupby("event_type").last()
+    exp = (
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_sum"),
+            F.avg("value").alias("mean"), F.var_samp("value").alias("variance"),
+            F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        ).toPandas().set_index("event_type")
+    )
+    assert set(got.index) == set(exp.index)
+    for c in ("n", "total_sum", "mean", "variance", "vmin", "vmax"):
+        pd.testing.assert_series_equal(
+            got[c].astype(float).sort_index(), exp[c].astype(float).sort_index(),
+            rtol=1e-9, check_names=False, obj=c,
+        )
+
+    q2 = (
+        windowed_stats_stream(stream, window="1 minute", watermark="2 hours")
+        .writeStream.format("memory").queryName("winstats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    got2 = spark.table("winstats").toPandas()
+    exp2 = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    # append mode emits only watermark-closed windows; with a finite file
+    # stream everything except the trailing watermark horizon closes
+    assert len(got2) > 0.5 * exp2
