@@ -1576,8 +1576,12 @@ def oracle_sql() -> dict[str, str]:
                 from test group by 1
             )
             select m.unique_id,
+                   -- route through the scale EXACTLY as the engine does
+                   -- ((a/s)/(b/s), not the algebraically-cancelled a/b):
+                   -- the value-hash gate needs bit-identical doubles
                    case when s.s is null then null
-                        else round(0.000001 + ((mae_m / mae_b) + (smape_m / smape_b)) / 2, 5)
+                        else round(0.000001 + (((mae_m / s.s) / (mae_b / s.s))
+                                               + (smape_m / smape_b)) / 2, 5)
                    end as mini_owa
             from m left join scale s using (unique_id)
         """,

@@ -68,11 +68,6 @@ def test_fminbound_quadratic():
     assert abs(x - 0.7) < 1e-4 and abs(fx - 3) < 1e-8
 
 
-def test_nelder_mead_rosenbrock():
-    f = lambda p: (1 - p[0]) ** 2 + 100 * (p[1] - p[0] ** 2) ** 2
-    x, fx = st.nelder_mead(f, np.array([-1.0, 1.0]), maxiter=2000)
-    assert fx < 1e-6
-
 
 def test_all_kernels_finite_or_nan_on_random_series():
     # no kernel may raise or return inf through the dispatcher

@@ -393,13 +393,19 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         "k": rng.choice(["a", "b", "c"], 80),
         "t": rng.choice(np.arange(0, 500), 80, replace=False).astype("int64"),
     })
+    m_vals = rng.normal(size=40)
+    m_vals[rng.choice(40, 8, replace=False)] = np.nan  # NULL right values:
+    # the matched row's NULL must come through as NULL, never an older value
     rpdf = pd.DataFrame({
         "k": rng.choice(["a", "b", "c"], 40),
         "t": rng.choice(np.arange(0, 500), 40, replace=False).astype("int64"),
-        "m": rng.normal(size=40),
+        "m": m_vals,
     })
     l = spark.createDataFrame(lpdf)
-    r = spark.createDataFrame(rpdf)
+    # NaN -> true SQL NULL so the ignorenulls path is actually exercised
+    r = spark.createDataFrame(rpdf).withColumn(
+        "m", F.when(~F.isnan("m"), F.col("m"))
+    )
     for direction in ("backward", "forward"):
         for exact in (True, False):
             for tol in (None, 50):

@@ -137,6 +137,11 @@ def main() -> None:
                       flush=True)
             results[mode].append(pair)
 
+    if not all(results[m] for m in ("none", "parquet")):
+        print("no accumulated trials for one or both phases "
+              "(fresh checkout or n_docs/N changed) — run with trials >= 1")
+        return
+
     def best_arm(mode: str, cpus: int) -> dict:
         return min((p[cpus] for p in results[mode]), key=lambda d: d["sec"])
 

@@ -222,22 +222,30 @@ def flat_spots_df(df: DataFrame, keys: list[str], order: list[str], col: str = "
     return runs.groupBy(*keys).agg(F.max("_len").cast("double").alias("flat_spots"))
 
 
-_KPSS_LMAX = 20  # static lag-column cap; per-series nlags gates the weights
-                 # (nlags = 4*(n/100)^0.25 reaches 20 only at n ~ 6e7 rows)
+# Static lag-column cap; the per-series data-dependent nlags enters only
+# through the Bartlett weights. nlags = floor(4*(n/100)^0.25) first exceeds
+# 20 at n = 100*(21/4)^4 ~ 76k rows per series — pass a larger ``max_lag``
+# to kpss_df/unitroot_pp_df beyond that, or the long-run variance silently
+# truncates (choose max_lag >= 4*(n_max/100)^0.25; column count is the only
+# cost). The driver's event series are ~2k-10k rows (nlags 8-12).
+_KPSS_LMAX = 20
 
 
-def kpss_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+def kpss_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y",
+            max_lag: int = _KPSS_LMAX) -> DataFrame:
     """KPSS level-stationarity statistic (statsmodels kpss(regression='c')
     parity, reference tsfeatures.py:793-816) pure SQL: eta from the running
     cumsum of demeaned values, long-run variance via Bartlett-weighted
-    autocovariances over a STATIC bank of 20 lag columns, the per-series
-    data-dependent nlags entering only through the weights."""
+    autocovariances over a STATIC bank of ``max_lag`` lag columns, the
+    per-series data-dependent nlags entering only through the weights.
+    Exact while nlags <= max_lag, i.e. n <= 100*((max_lag+1)/4)^4 rows per
+    series (~76k at the default 20) — raise max_lag beyond that."""
     c = F.col(col)
     stats = df.groupBy(*keys).agg(F.avg(c).alias("_m"), F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(*keys).orderBy(*order)
     j = df.join(F.broadcast(stats), keys).withColumn("_e", c - F.col("_m"))
     j = j.withColumn("_s", F.sum("_e").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    for k in range(1, _KPSS_LMAX + 1):
+    for k in range(1, max_lag + 1):
         j = j.withColumn(f"_el{k}", F.lag("_e", k).over(w))
     eta = F.sum(F.col("_s") * F.col("_s")) / (F.max("_n") * F.max("_n"))
     s2 = F.sum(F.col("_e") * F.col("_e")) / F.max("_n")
@@ -248,7 +256,7 @@ def kpss_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") ->
             (1.0 - F.lit(k) / (nl + 1.0)) * 2.0 / F.max("_n")
             * F.sum(F.col("_e") * F.coalesce(F.col(f"_el{k}"), F.lit(0.0))),
         ).otherwise(F.lit(0.0))
-        for k in range(1, _KPSS_LMAX + 1)
+        for k in range(1, max_lag + 1)
     ]
     total = s2
     for t in terms:
@@ -256,12 +264,14 @@ def kpss_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") ->
     return j.groupBy(*keys).agg(F.try_divide(eta, total).alias("unitroot_kpss"))
 
 
-def unitroot_pp_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y") -> DataFrame:
+def unitroot_pp_df(df: DataFrame, keys: list[str], order: list[str], col: str = "y",
+                   max_lag: int = _KPSS_LMAX) -> DataFrame:
     """Phillips-Perron statistic, replicating the reference's own formula
     (utils.py:164-213, including its idiosyncratic s = 1/(n*sum(res^2)))
     pure SQL in two aggregate passes: closed-form OLS of y_t on y_{t-1}
-    first, then residual autocovariances over a static 20-lag bank gated
-    by the per-series lmax."""
+    first, then residual autocovariances over a static ``max_lag`` bank
+    gated by the per-series lmax (exact while lmax <= max_lag, ~76k rows
+    per series at the default 20 — raise max_lag beyond)."""
     c = F.col(col)
     w = Window.partitionBy(*keys).orderBy(*order)
     d = df.withColumn("_rn", F.row_number().over(w)).withColumn("_yl", F.lag(c).over(w))
@@ -285,7 +295,7 @@ def unitroot_pp_df(df: DataFrame, keys: list[str], order: list[str], col: str = 
     r = d.join(F.broadcast(g.select(*keys, "_n", "_b0", "_b1", "_my")), keys)
     r = r.withColumn("_res", F.col("_y") - F.col("_b0") - F.col("_b1") * F.col("_yl"))
     w2 = Window.partitionBy(*keys).orderBy("_rn")
-    for k in range(1, _KPSS_LMAX + 1):
+    for k in range(1, max_lag + 1):
         r = r.withColumn(f"_rl{k}", F.lag("_res", k).over(w2))
     # lmax uses the ORIGINAL series length n+1 (reference computes it before
     # dropping the first row, utils.py:180)
@@ -294,7 +304,7 @@ def unitroot_pp_df(df: DataFrame, keys: list[str], order: list[str], col: str = 
     s = F.try_divide(F.lit(1.0), n_ * F.sum(F.col("_res") * F.col("_res")))
     myybar = F.sum((F.col("_y") - F.col("_my")) * (F.col("_y") - F.col("_my"))) / (n_ * n_)
     sig = s
-    for k in range(1, _KPSS_LMAX + 1):
+    for k in range(1, max_lag + 1):
         term = F.when(
             F.lit(k) <= lmax,
             (1.0 - F.lit(k) / (lmax + 1.0)) * (2.0 / n_)

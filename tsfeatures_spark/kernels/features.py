@@ -341,7 +341,8 @@ def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
     lo, hi = 1e-4, 1.0 - 1e-4
     ga = np.linspace(lo, hi, 15)
     gb = np.linspace(lo, hi, 15)
-    best = (np.inf, 0.5, 0.1)
+    best = (np.inf, np.nan, np.nan)  # all-NaN SSE (e.g. constant series
+    # z-scaled to NaN) must yield NaN params, as statsmodels' raise does
     span_a = ga[1] - ga[0]
     span_b = gb[1] - gb[0]
     for _round in range(3):
@@ -352,6 +353,8 @@ def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
         i = int(np.argmin(sse))
         if sse[i] < best[0]:
             best = (float(sse[i]), float(A[i]), float(B[i]))
+        if not np.isfinite(best[0]):
+            return np.nan, np.nan
         a_c, b_c = best[1], best[2]
         ga = np.clip(np.linspace(a_c - span_a, a_c + span_a, 7), lo, hi)
         gb = np.clip(np.linspace(b_c - span_b, b_c + span_b, 7), lo, hi)
@@ -428,7 +431,7 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         ga = np.linspace(lo, hi, 7)
         gb = np.linspace(lo, hi, 7)
         gg = np.linspace(lo, hi, 7)
-        best = (np.inf, 0.3, 0.1, 0.1)
+        best = (np.inf, np.nan, np.nan, np.nan)
         spans = [ga[1] - ga[0], gb[1] - gb[0], gg[1] - gg[0]]
         for _round in range(3):
             A, B, Gm = (v.ravel() for v in np.meshgrid(ga, gb, gg, indexing="ij"))
@@ -437,6 +440,8 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
             i = int(np.argmin(sse))
             if sse[i] < best[0]:
                 best = (float(sse[i]), float(A[i]), float(B[i]), float(Gm[i]))
+            if not np.isfinite(best[0]):
+                return nan  # all-NaN SSE: constant/degenerate series
             c = best[1:]
             ga = np.clip(np.linspace(c[0] - spans[0], c[0] + spans[0], 5), lo, hi)
             gb = np.clip(np.linspace(c[1] - spans[1], c[1] + spans[1], 5), lo, hi)

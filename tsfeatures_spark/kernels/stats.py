@@ -33,7 +33,6 @@ __all__ = [
     "terasvirta_stat",
     "lambda_coef_var",
     "fminbound",
-    "nelder_mead",
 ]
 
 
@@ -444,60 +443,3 @@ def fminbound(func, a: float, b: float, xatol: float = 1e-5, maxiter: int = 500)
         if num >= maxiter:
             break
     return xf, fx
-
-
-def nelder_mead(func, x0: np.ndarray, bounds=None, xatol=1e-6, fatol=1e-6, maxiter=None):
-    """Minimal Nelder-Mead simplex minimiser (scipy-style adaptive=False),
-    with optional box clipping of evaluated points. Returns (x, fx)."""
-    x0 = np.asarray(x0, dtype=float)
-    ndim = x0.size
-    if maxiter is None:
-        maxiter = 200 * ndim
-
-    def f(p):
-        if bounds is not None:
-            p = np.clip(p, bounds[0], bounds[1])
-        return func(p)
-
-    # initial simplex (scipy convention)
-    sim = np.vstack([x0] + [x0 + (0.05 if x0[k] != 0 else 0.00025) * np.eye(ndim)[k] for k in range(ndim)])
-    fsim = np.array([f(p) for p in sim])
-    order = np.argsort(fsim)
-    sim, fsim = sim[order], fsim[order]
-    rho, chi, psi, sigma = 1.0, 2.0, 0.5, 0.5
-    for _ in range(maxiter):
-        if np.max(np.abs(sim[1:] - sim[0])) <= xatol and np.max(np.abs(fsim[1:] - fsim[0])) <= fatol:
-            break
-        xbar = sim[:-1].mean(axis=0)
-        xr = xbar + rho * (xbar - sim[-1])
-        fxr = f(xr)
-        if fxr < fsim[0]:
-            xe = xbar + rho * chi * (xbar - sim[-1])
-            fxe = f(xe)
-            if fxe < fxr:
-                sim[-1], fsim[-1] = xe, fxe
-            else:
-                sim[-1], fsim[-1] = xr, fxr
-        elif fxr < fsim[-2]:
-            sim[-1], fsim[-1] = xr, fxr
-        else:
-            if fxr < fsim[-1]:
-                xc = xbar + psi * rho * (xbar - sim[-1])
-                fxc = f(xc)
-                if fxc <= fxr:
-                    sim[-1], fsim[-1] = xc, fxc
-                else:
-                    sim[1:] = sim[0] + sigma * (sim[1:] - sim[0])
-                    fsim[1:] = [f(p) for p in sim[1:]]
-            else:
-                xcc = xbar + psi * (sim[-1] - xbar)
-                fxcc = f(xcc)
-                if fxcc < fsim[-1]:
-                    sim[-1], fsim[-1] = xcc, fxcc
-                else:
-                    sim[1:] = sim[0] + sigma * (sim[1:] - sim[0])
-                    fsim[1:] = [f(p) for p in sim[1:]]
-        order = np.argsort(fsim)
-        sim, fsim = sim[order], fsim[order]
-    x_best = sim[0] if bounds is None else np.clip(sim[0], bounds[0], bounds[1])
-    return x_best, fsim[0]

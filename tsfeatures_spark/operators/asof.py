@@ -70,14 +70,19 @@ def asof_join(
         .orderBy(t_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c in value_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        matched_time_col,
-        F.last(F.when(F.col("_side") == 1, F.col("_t")), ignorenulls=True).over(w),
+    # Propagate the matched right row ATOMICALLY (one struct), not column
+    # by column: per-column last(ignorenulls) would skip a NULL field of
+    # the true match and leak the value of an OLDER right row — a torn row
+    # that can also smuggle stale values past the tolerance check.
+    row_struct = F.when(
+        F.col("_side") == 1,
+        F.struct(F.col("_t").alias("_rt"), *[F.col(c) for c in value_cols]),
     )
+    filled = u.withColumn("_match", F.last(row_struct, ignorenulls=True).over(w))
     out = filled.where(F.col("_side") == 0)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_match.{c}"))
+    out = out.withColumn(matched_time_col, F.col("_match._rt")).drop("_match")
     if tolerance is not None:
         gap = (
             F.col("_t") - F.col(matched_time_col)
