@@ -144,3 +144,24 @@ def test_heterogeneity_discriminates_garch():
     f_wn = heterogeneity(rng.normal(size=n), 1)
     assert f_garch["arch_r2"] > 3 * f_wn["arch_r2"]
     assert f_garch["arch_acf"] > 3 * f_wn["arch_acf"]
+
+
+def test_pdcut_codes_match_pandas_cut():
+    import pandas as pd
+
+    from tsfeatures_spark.kernels.features import _pdcut_codes
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.normal(size=200),
+        np.round(rng.normal(size=200) * 50, 2),        # 2-decimal grid
+        rng.integers(0, 50000, size=300).astype(float),  # token-like
+        np.full(50, 7.0),                               # constant
+        np.full(50, 0.0),                               # constant zero
+        np.array([1.0, 2.0]),
+        np.linspace(0, 1, 11),                          # values ON bin edges
+    ]
+    for x in cases:
+        exp = pd.cut(x, bins=10, include_lowest=True, labels=False)
+        got = _pdcut_codes(x, 10)
+        assert np.array_equal(np.asarray(exp), got), x[:5]

@@ -135,13 +135,34 @@ def entropy(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         return {"entropy": np.nan}
 
 
+def _pdcut_codes(x: np.ndarray, bins: int = 10) -> np.ndarray:
+    """Exact pd.cut(x, bins, labels=False, right=True) bin codes in plain
+    NumPy (pandas' IntervalIndex machinery is ~100x slower per call and
+    dominated the rollup's partial-window path). Replicates pandas
+    _nbins_to_bins: linspace edges over [min, max]; equal endpoints padded
+    by 0.1% (or ±0.001 at 0); left edge pushed out by 0.1% of the range so
+    the bottom value falls in bin 0 (right-closed bins)."""
+    x = np.asarray(x, dtype=float)
+    mn, mx = np.nanmin(x), np.nanmax(x)
+    if mn == mx:
+        adj = 0.001 if mn == 0 else abs(mn) * 0.001
+        lo, hi = mn - adj, mx + adj
+    else:
+        lo, hi = mn, mx
+    edges = np.linspace(lo, hi, bins + 1)
+    edges[0] -= (hi - lo) * 0.001
+    codes = np.searchsorted(edges, x, side="left") - 1
+    return np.clip(codes, 0, bins - 1)
+
+
 def flat_spots(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
-    """Parity: tsfeatures.py:203-225 (pd.cut 10 bins, longest run)."""
+    """Parity: tsfeatures.py:203-225 (pd.cut 10 bins, longest run); bin
+    codes via _pdcut_codes (pd.cut-identical, pinned by pytest)."""
     try:
-        cutx = pd.cut(x, bins=10, include_lowest=True, labels=False)
+        cutx = _pdcut_codes(np.asarray(x, dtype=float), 10)
     except Exception:
         return {"flat_spots": np.nan}
-    return {"flat_spots": float(st.run_lengths(np.asarray(cutx)).max())}
+    return {"flat_spots": float(st.run_lengths(cutx).max())}
 
 
 def frequency(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
@@ -190,6 +211,12 @@ def _tiled_stat(x: np.ndarray, freq: int, inner: str) -> float:
         return 0.0
     tiles = x[: nseg * width].reshape(nseg, width)
     with np.errstate(divide="ignore", invalid="ignore"):
+        if not np.isnan(tiles).any():
+            # fast path: nan-aggregates equal the plain ones on finite data
+            # and the nan* wrappers cost ~5x on small arrays (hot in the
+            # rollup's partial-window path)
+            per = tiles.mean(axis=1) if inner == "mean" else tiles.var(axis=1, ddof=1)
+            return float(per.var(ddof=1))
         if inner == "mean":
             per = np.nanmean(tiles, axis=1)
         else:
