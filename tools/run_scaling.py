@@ -114,6 +114,8 @@ SESSION_HISTORY = [
     # (session, phase, small_arm, small_sec, big_arm, big_sec, eff)
     ("round-1 (quiet window)", "compute", "local[4]", 66.29, "local[16]", 24.66, 0.67),
     ("round-1 (quiet window)", "e2e", "local[4]", 97.17, "local[16]", 34.14, 0.71),
+    ("round-2 (pre-speedup kernels)", "compute", "local[2]", 69.95, "local[8]", 21.72, 0.805),
+    ("round-2 (pre-speedup kernels)", "e2e", "local[2]", 76.54, "local[8]", 23.21, 0.825),
 ]
 
 # Driver-protocol reference measured this session (python bench.py,
@@ -210,6 +212,16 @@ CPUs — contention a real 16-executor cluster spreads across 16 hosts.
 2 -> 8 keeps the proxy inside the regime where the hardware can
 physically deliver the full 4x, which is what the N-vs-4N-executor rule
 is about.
+
+**Where the remaining gap lives:** the pure NumPy cascade kernel run as
+plain pinned multiprocessing (no Spark) scales 2 -> 8 workers at ~1.0
+per-core (measured: 371-445k tok/s/core at 2 workers vs 384-421k at 8,
+within host noise). The efficiency lost in the Spark measurement is the
+SHARED single-JVM layer — one parquet scan, one Arrow serializer pool,
+one GC — competing with the workers for the same pinned CPUs. On a real
+4N-executor cluster every executor brings its own JVM, scan threads and
+disks, so that term scales out with N; the local-mode proxy charges it
+against the job.
 
 **Measurement protocol.** This VM is a shared host with steal-time noise
 (identical runs vary 3-7x). A pinned busy-loop CAPACITY PROBE runs
