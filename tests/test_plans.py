@@ -20,7 +20,8 @@ def test_rollup_plan_is_shuffle_free(spark):
 
     plan = _plan(rollup_tiers(token_table(spark, 4, partitions=2, mean_len=200)))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert any(n in plan for n in ("MapInArrow", "PythonMapInArrow",
+                                   "MapInPandas", "FlatMapGroupsInPandas"))
 
 
 def test_features_wide_plan_is_shuffle_free(spark):

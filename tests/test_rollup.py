@@ -135,3 +135,26 @@ def test_features_wide_spark_matches_kernels(spark):
         for k, v in exp.items():
             g = got.loc[doc, k]
             assert (np.isnan(g) and np.isnan(v)) or np.isclose(g, v, rtol=1e-12, atol=1e-12), (doc, k)
+
+
+def test_rollup_arrow_path_identical_to_pandas_path(spark):
+    """The mapInArrow cascade (zero-copy in, RecordBatch out) must be
+    row-identical to the mapInPandas path — every column including the
+    compressed blocks and digests."""
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.sources.generator import token_table
+
+    toks = token_table(spark, 30, base_seed=9, partitions=4, mean_len=900)
+    a = rollup_tiers(toks, arrow=True).toPandas()
+    b = rollup_tiers(toks, arrow=False).toPandas()
+    key = ["tier", "doc_id", "window_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if c == "block":
+            assert all(x == y for x, y in zip(a[c], b[c])), c
+        else:
+            import pandas as pd
+
+            pd.testing.assert_series_equal(a[c], b[c], check_names=False, obj=c)
