@@ -821,6 +821,16 @@ def emb_ann_lsh(spark, sf_dir):
     return lsh_topk(e, q, k=5, bits=6, dim=64)
 
 
+def emb_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means cells on a deterministic hash-sample, n_probe=2)
+    — rows-only; recall vs brute force pinned in pytest."""
+    from tsfeatures_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_cells=16, n_probe=2)
+
+
 def multimodal_decode(spark, sf_dir):
     from tsfeatures_spark.operators.multimodal import attach_fake_media, decode_media
 
@@ -988,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
+        "emb_ann_ivf": emb_ann_ivf,
         "multimodal_decode": multimodal_decode,
         "feats_wide_documents": feats_wide_documents,
         "tok_rollup_tiers": tok_rollup_tiers,

@@ -492,3 +492,29 @@ def test_running_stats_stream_equals_batch(spark, tmp_path):
     # append mode emits only watermark-closed windows; with a finite file
     # stream everything except the trailing watermark horizon closes
     assert len(got2) > 0.5 * exp2
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN: cell join only (no crossJoin in the plan) and high recall
+    vs exact top-k on clustered data."""
+    import numpy as np
+
+    from tsfeatures_spark.operators.similarity import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(scale=5.0, size=(6, 16))
+    rows = []
+    for i in range(240):
+        c = centers[i % 6]
+        rows.append((i, [float(x) for x in c + rng.normal(scale=0.4, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.where(F.col("vec_id") < 12)
+    exact = brute_topk(df, q, k=5).toPandas()
+    approx_df = ivf_topk(df, q, k=5, n_cells=8, n_probe=2)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = approx_df.toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"

@@ -93,3 +93,85 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _kmeans_centroids(X: np.ndarray, n_cells: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (numpy).
+    kmeans++-lite seeding from a fixed RNG; empty cells re-seeded to the
+    farthest point. The TRAINING set is a bounded hash-sample — at 100 TB
+    the assignment (the expensive part) stays fully distributed."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)].astype(float).copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = X[d2.min(axis=1).argmax()]
+    return C
+
+
+def _cell_scores(vec_col: str, C: np.ndarray) -> Column:
+    """array<double> of -||x - c||^2/2 == c.x - |c|^2/2 per centroid (argmax
+    == nearest cell), as literal-plane JVM expressions — no Python worker."""
+    scores = []
+    for c in C:
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_c, lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        scores.append(dot - float(np.dot(c, c) / 2.0))
+    return F.array(*scores)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
+             n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42, train_sample: int = 2048) -> DataFrame:
+    """IVF approximate nearest neighbours: k-means cells learned on a
+    deterministic hash-sample, corpus rows assigned to their nearest cell
+    (one JVM-side argmax over literal centroid dot products — write-time
+    at scale), queries probe their ``n_probe`` nearest cells, exact cosine
+    rerank inside. The join key is the cell id, so the pair space is
+    sum-of-cell-sizes x queries-per-cell, never |C| x |Q|. Recall < 1 by
+    construction; n_probe trades recall vs scan width."""
+    samp = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(37)) == 0)
+        .select(vec_col)
+        .limit(train_sample)
+        .collect()
+    )
+    if len(samp) < n_cells:
+        samp = corpus.select(vec_col).limit(max(train_sample, n_cells)).collect()
+    X = np.asarray([r[0] for r in samp], dtype=float)
+    C = _kmeans_centroids(X, n_cells, seed=seed)
+
+    scores = _cell_scores(vec_col, C)
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        (F.array_position(scores, F.array_max(scores)) - 1).alias("_cell"),
+    )
+    # queries probe their n_probe top cells: explode scored cells, rank
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.posexplode(scores).alias("_cell", "_score"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("_cell"))
+    q_cells = (
+        q_scored.withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "_cell")
+    )
+    j = c_assigned.join(F.broadcast(q_cells), "_cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
