@@ -518,3 +518,50 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_real_codecs_roundtrip(spark):
+    """PPM and WAV codecs are REAL: byte-exact roundtrips, correct decoded
+    metadata through the Spark pipeline, resize/resample primitives."""
+    import numpy as np
+
+    from tsfeatures_spark.operators.multimodal import (
+        attach_synthetic_media, audio_resample_stride, decode_media,
+        image_ahash, image_resize_nn, ppm_decode, ppm_encode,
+        wav_decode, wav_encode,
+    )
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(ppm_decode(ppm_encode(img)), img)
+    # comment-tolerant header parse
+    hdr = b"P6\n# a comment\n47 33\n255\n" + img.tobytes()
+    assert np.array_equal(ppm_decode(hdr), img)
+    small = image_resize_nn(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert len(image_ahash(img)) == 16
+
+    samples = (rng.normal(scale=2000, size=777)).astype(np.int16)
+    sr, back = wav_decode(wav_encode(samples, 8000))
+    assert sr == 8000 and np.array_equal(back, samples)
+    down = audio_resample_stride(samples, 8000, 4000)
+    assert len(down) == 388 and np.array_equal(down, samples[::2][:388])
+
+    docs = spark.createDataFrame([(f"doc-{i}",) for i in range(40)], "doc_id string")
+    meta = decode_media(attach_synthetic_media(docs)).toPandas()
+    assert len(meta) == 40 and meta.decode_ok.all()
+    imgs = meta[meta.media_type == "image/ppm"]
+    auds = meta[meta.media_type == "audio/wav"]
+    assert len(imgs) > 5 and len(auds) > 5  # both modalities present
+    assert imgs.width.notna().all() and imgs.ahash.notna().all()
+    assert auds.sample_rate.isin([8000, 16000]).all() and auds.rms.notna().all()
+    # determinism: regenerating yields identical digests
+    meta2 = decode_media(attach_synthetic_media(docs)).toPandas()
+    assert set(meta.digest) == set(meta2.digest)
+    # undecodable format -> decode_ok=false, never a task failure
+    from pyspark.sql import functions as F
+
+    bogus = docs.select("doc_id", F.encode(F.lit("\xff\xd8jpegish"), "UTF-8").alias("media"),
+                        F.lit("image/jpeg").alias("media_type"))
+    bmeta = decode_media(bogus).toPandas()
+    assert (~bmeta.decode_ok).all()
