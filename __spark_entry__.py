@@ -867,6 +867,53 @@ def tok_rollup_tiers(spark, sf_dir):
     return rollup_tiers(df).drop("block")
 
 
+def tok_rollup_1m_windows(spark, sf_dir):
+    """Driver-oracle row for the cascade core (``rollup_tiers``): token
+    arrays derived deterministically from documents.text codepoints — an
+    input DuckDB can rebuild exactly with unicode(substr(...)) — run
+    through the REAL mapInPandas cascade; every SQL-expressible per-window
+    column (all but the rfft entropy and the codec blocks) is compared
+    value-for-value. Each value equals kernels.compute_features(window,
+    freq=1) per tests/test_rollup.py (reference parity: tsfeatures'
+    acf_features / crossing_points / flat_spots / stability / lumpiness,
+    reference tsfeatures.py:120-180,262-294)."""
+    from tsfeatures_spark.operators.rollup import rollup_tiers
+
+    _ensure_pkg_on_executors(spark)
+    nan2null = lambda c: F.when(F.isnan(c), F.lit(None)).otherwise(c)  # noqa: E731
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 60)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("docs").alias("source"),
+            # truncate to whole 1m windows: every row takes the vectorized
+            # matrix path and the oracle never sees a partial window
+            F.expr(
+                "transform(sequence(1, cast((length(text) div 60) * 60 as int)),"
+                " i -> ascii(substring(text, i, 1)))"
+            ).cast("array<int>").alias("tokens"),
+        )
+    )
+    out = rollup_tiers(d, tiers=["1m"])
+    return out.select(
+        "doc_id",
+        "window_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_sum").alias("total_sum"),  # integer-valued: exact
+        F.col("vmin").alias("vmin"),
+        F.col("vmax").alias("vmax"),
+        _r(F.col("mean"), 6).alias("mean"),
+        _r(F.col("variance"), 6).alias("variance"),
+        _r(nan2null(F.col("x_acf1")), 6).alias("x_acf1"),
+        _r(nan2null(F.col("x_acf10")), 6).alias("x_acf10"),
+        F.col("crossing_points").alias("crossing_points"),
+        F.col("flat_spots").alias("flat_spots"),
+        _r(F.col("stability"), 5).alias("stability"),
+        _r(F.col("lumpiness"), 5).alias("lumpiness"),
+    )
+
+
 def dedup_near_pipeline(spark, sf_dir):
     """LSH candidates -> est prefilter -> exact n-gram rerank (the
     sub-quadratic near-dup recipe) over documents doubled with copies."""
@@ -993,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "emb_knn_bruteforce": emb_knn_bruteforce,
         "emb_dup_pairs": emb_dup_pairs,
+        "tok_rollup_1m_windows": tok_rollup_1m_windows,
         # rows-only (no SQL equivalent)
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1016,6 +1064,105 @@ def _bartlett_terms_sql(err: str, lagpfx: str, nl: str, n: str) -> str:
         f" * sum({err}*coalesce({lagpfx}{k},0)) else 0 end)"
         for k in range(1, 21)
     )
+
+
+def _tok_rollup_1m_oracle() -> str:
+    """DuckDB mirror of the 1m tier of ``rollup_tiers`` over codepoint
+    tokens: identical formulas in identical operation order to
+    operators/rollup.py:window_features_matrix (two-pass m2, lag-k ACF
+    numerators over the SAME d values, the engine's exact
+    vmin + (vmax-vmin)*(k/10) bin edges, tile width 10 two-pass
+    stability/lumpiness)."""
+    lagsel = ",\n                   ".join(
+        f"lag(d, {k}) over wnd as d{k}" for k in range(1, 11))
+    acfsums = ",\n                   ".join(
+        f"sum(d * d{k}) as c{k}" for k in range(1, 11))
+    acf10 = " + ".join(f"(c{k}/m2)*(c{k}/m2)" for k in range(1, 11))
+    edges = " + ".join(
+        f"(case when x > vmin + (vmax - vmin) * ({k}/10.0) then 1 else 0 end)"
+        for k in range(1, 10))
+    return f"""
+        with toks0 as (
+            select cast(doc_id as varchar) as doc_id,
+                   unnest(range(1, (length(text) // 60) * 60 + 1)) as i, text
+            from documents where length(text) >= 60
+        ),
+        w as (
+            select doc_id, (i - 1) // 60 as window_id, (i - 1) % 60 as tpos,
+                   cast(unicode(substr(text, cast(i as int), 1)) as double) as x
+            from toks0
+        ),
+        st as (
+            select doc_id, window_id, count(*) as n, sum(x) as total_sum,
+                   min(x) as vmin, max(x) as vmax, sum(x)/60.0 as mean,
+                   median(x) as med
+            from w group by 1, 2
+        ),
+        xd as (
+            select w.doc_id, w.window_id, w.tpos, w.x, w.x - st.mean as d,
+                   st.med, st.vmin, st.vmax, w.tpos // 10 as tile
+            from w join st using (doc_id, window_id)
+        ),
+        lagd as (
+            select *, {lagsel},
+                   lag(x) over wnd as xprev
+            from xd window wnd as (partition by doc_id, window_id order by tpos)
+        ),
+        agg as (
+            select doc_id, window_id, sum(d*d) as m2,
+                   {acfsums},
+                   sum(case when (x <= med) <> (xprev <= med) then 1 else 0 end) as crossings
+            from lagd group by 1, 2
+        ),
+        coded as (select doc_id, window_id, tpos, {edges} as code from xd),
+        isl as (
+            select doc_id, window_id, code,
+                   tpos - row_number() over (partition by doc_id, window_id, code
+                                             order by tpos) as island
+            from coded
+        ),
+        runs as (select doc_id, window_id, code, island, count(*) as len
+                 from isl group by 1, 2, 3, 4),
+        fs as (select doc_id, window_id, max(len) as flat_spots from runs group by 1, 2),
+        tl as (
+            select doc_id, window_id, tile, sum(x)/10.0 as tmean
+            from xd group by 1, 2, 3
+        ),
+        tlv as (
+            select xd.doc_id, xd.window_id, xd.tile,
+                   sum((xd.x - tl.tmean)*(xd.x - tl.tmean))/9.0 as tvar
+            from xd join tl using (doc_id, window_id, tile)
+            group by 1, 2, 3
+        ),
+        sg as (select doc_id, window_id, sum(tmean)/6.0 as mt from tl group by 1, 2),
+        stab as (
+            select tl.doc_id, tl.window_id,
+                   sum((tl.tmean - sg.mt)*(tl.tmean - sg.mt))/5.0 as stability
+            from tl join sg using (doc_id, window_id) group by 1, 2
+        ),
+        vg as (select doc_id, window_id, sum(tvar)/6.0 as mv from tlv group by 1, 2),
+        lum as (
+            select tlv.doc_id, tlv.window_id,
+                   sum((tlv.tvar - vg.mv)*(tlv.tvar - vg.mv))/5.0 as lumpiness
+            from tlv join vg using (doc_id, window_id) group by 1, 2
+        )
+        select st.doc_id, st.window_id, st.n, st.total_sum, st.vmin, st.vmax,
+               round(st.mean + 0.000001, 6) as mean,
+               round(agg.m2/59.0 + 0.000001, 6) as variance,
+               case when agg.m2 = 0 then null
+                    else round(agg.c1/agg.m2 + 0.000001, 6) end as x_acf1,
+               case when agg.m2 = 0 then null
+                    else round({acf10} + 0.000001, 6) end as x_acf10,
+               cast(agg.crossings as double) as crossing_points,
+               cast(fs.flat_spots as double) as flat_spots,
+               round(stab.stability + 0.000001, 5) as stability,
+               round(lum.lumpiness + 0.000001, 5) as lumpiness
+        from st
+        join agg using (doc_id, window_id)
+        join fs using (doc_id, window_id)
+        join stab using (doc_id, window_id)
+        join lum using (doc_id, window_id)
+    """
 
 
 def _kpss_oracle() -> str:
@@ -1089,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type", "ts, event_id", "value",
     )
     return {
+        "tok_rollup_1m_windows": _tok_rollup_1m_oracle(),
         "ts_flat_spots": """
             with stats as (select event_type, min(value) as mn, max(value) as mx
                            from events group by 1),

@@ -74,6 +74,10 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    # ship the package zip (spark-submit --py-files mechanism): required
+    # when SPARK_GRAFT_MASTER=local-cluster[...] runs real separate
+    # executor JVMs whose Python workers don't inherit the driver sys.path
+    entrymod._ensure_pkg_on_executors(spark)
 
     tok_path = os.path.join(DATA_DIR, f"tokens_bench_{N_DOCS}")
     ensure_token_table(spark, tok_path)

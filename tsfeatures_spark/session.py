@@ -13,8 +13,14 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the master URL. The scaling harness uses
+    # local-cluster[W,C,M] (real standalone Worker + per-executor JVMs on
+    # this box): the closest single-host analog of "N executors vs 4N
+    # executors" — each executor brings its OWN JVM/GC/Arrow pool, as on a
+    # real cluster, instead of all task threads sharing the driver JVM.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
@@ -32,5 +38,13 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        builder = (
+            builder
+            .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"))
+            # the driver only schedules in cluster-ish mode; don't reserve
+            # a 48g heap that the OS then can't give the executors
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
+        )
+    return builder.getOrCreate()
