@@ -40,9 +40,17 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     if master.startswith("local-cluster"):
+        # local-cluster[W,C,M]: per-executor JVM heaps instead of one big
+        # driver heap, and GC threads sized to the executor's C cores —
+        # JVM ergonomics sees the whole taskset (all arms' cores), so an
+        # un-pinned default would give every executor the WIDE arm's GC
+        # width and make the arms asymmetric per executor.
+        exec_cores = master.split(",")[1].strip() if "," in master else "2"
         builder = (
             builder
             .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"))
+            .config("spark.executor.extraJavaOptions",
+                    f"-XX:ParallelGCThreads={exec_cores} -XX:ConcGCThreads=1")
             # the driver only schedules in cluster-ish mode; don't reserve
             # a 48g heap that the OS then can't give the executors
             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
