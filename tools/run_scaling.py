@@ -116,6 +116,12 @@ SESSION_HISTORY = [
     ("round-1 (quiet window)", "e2e", "local[4]", 97.17, "local[16]", 34.14, 0.71),
     ("round-2 (pre-speedup kernels)", "compute", "local[2]", 69.95, "local[8]", 21.72, 0.805),
     ("round-2 (pre-speedup kernels)", "e2e", "local[2]", 76.54, "local[8]", 23.21, 0.825),
+    # G1 48g-heap era (trials archived in BENCH/scaling_trials_g1_48g.json):
+    # event-log profiling showed ~24% of executor run time in G1 pauses at
+    # the wide arm; the collector blow-ups hit local[8] disproportionately
+    # (38-57s walls in noisy windows vs ParallelGC's graceful 19-24s).
+    ("round-2 (G1 48g heap)", "compute", "local[2]", 53.737, "local[8]", 17.366, 0.774),
+    ("round-2 (G1 48g heap)", "e2e", "local[2]", 61.816, "local[8]", 20.162, 0.766),
 ]
 
 # Driver-protocol reference measured this session (python bench.py,
@@ -129,7 +135,11 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # 0 = report-only
     results = _load_prior(n_docs)  # mode -> list of pair dicts
-    for mode in ("none", "parquet"):
+    # SPARK_GRAFT_SCALE_MODES narrows a burst to one phase (e.g. "parquet")
+    # so accumulation can target whichever phase still lacks a quiet pair.
+    modes = [m for m in ("none", "parquet")
+             if m in os.environ.get("SPARK_GRAFT_SCALE_MODES", "none,parquet")]
+    for mode in modes:
         for t in range(trials):
             pair = {}
             for cpus in (N_SMALL, N_BIG):

@@ -28,9 +28,18 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # 512-row Arrow batches: interleaved A/B at local[8] (tools/ab_gc.py
+        # logs) showed 512 beats 1024/256/128 on the rollup scan — smaller
+        # peak JVM allocation per batch, steadier GC
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 8g, not 48g: event-log profiling showed the rollup stage spending
+        # ~24% of executor run time in G1 pauses with a 48g heap (huge heap
+        # => huge young gen => long stop-the-world scans); 8g + ParallelGC
+        # below cut local[8] cascade wall from 17.4s best / 38-57s noisy to
+        # 13.9-16.4s best / ~21s noisy. Executors on a real cluster run
+        # 4-16g heaps — this also makes the local proxy faithful.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # BLAS/OMP pinned to 1 in Python workers: same oversubscription
@@ -39,6 +48,17 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
+    # Throughput collector for the local-mode driver JVM (= the executor in
+    # local mode): ParallelGC beats the G1 default on the Arrow-heavy scan
+    # (no concurrent-mark CPU tax, compacting young collections of the
+    # short-lived batch buffers). SPARK_GRAFT_DRIVER_JAVA_OPTS overrides.
+    extra = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC")
+    if extra:
+        builder = builder.config("spark.driver.extraJavaOptions", extra)
+    # Arbitrary conf overrides for A/B harnesses: "k=v;k2=v2"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if master.startswith("local-cluster"):
         # local-cluster[W,C,M]: per-executor JVM heaps instead of one big
         # driver heap, and GC threads sized to the executor's C cores —
