@@ -126,9 +126,10 @@ SESSION_HISTORY = [
 
 # Driver-protocol reference measured this session (python bench.py,
 # defaults: local[32] unpinned, 15k docs / 59.7M tokens, sink included,
-# best-of-3): min / median seconds.
-DRIVER_PROTOCOL = {"min_sec": 28.9, "median_sec": 47.0,
-                   "min_tps": 2_065_725, "median_tps": 1_270_532}
+# best-of-3): min / median seconds. Post-GC-fix kernel (ParallelGC, 8g
+# heap, 512-row Arrow batches); pre-fix session read 28.9 / 47.0 s.
+DRIVER_PROTOCOL = {"min_sec": 9.45, "median_sec": 12.74,
+                   "min_tps": 6_312_702, "median_tps": 4_686_029}
 
 
 def main() -> None:
