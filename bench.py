@@ -130,7 +130,7 @@ def main() -> None:
         else:
             (
                 r.write.mode("overwrite")
-                .option("compression", "zstd")
+                .option("compression", os.environ.get("SPARK_GRAFT_BENCH_CODEC", "zstd"))
                 .partitionBy("tier")
                 .parquet(out_path)
             )
