@@ -224,15 +224,20 @@ CPUs — contention a real 16-executor cluster spreads across 16 hosts.
 physically deliver the full 4x, which is what the N-vs-4N-executor rule
 is about.
 
-**Where the remaining gap lives:** the pure NumPy cascade kernel run as
-plain pinned multiprocessing (no Spark) scales 2 -> 8 workers at ~1.0
-per-core (measured: 371-445k tok/s/core at 2 workers vs 384-421k at 8,
-within host noise). The efficiency lost in the Spark measurement is the
-SHARED single-JVM layer — one parquet scan, one Arrow serializer pool,
-one GC — competing with the workers for the same pinned CPUs. On a real
-4N-executor cluster every executor brings its own JVM, scan threads and
-disks, so that term scales out with N; the local-mode proxy charges it
-against the job.
+**Where the gap lived (and the round-2 fix):** the pure NumPy cascade
+kernel run as plain pinned multiprocessing (no Spark) scales 2 -> 8
+workers at ~1.0 per-core (measured: 371-445k tok/s/core at 2 workers vs
+384-421k at 8, within host noise), so the efficiency lost in the Spark
+measurement is the SHARED single-JVM layer competing with the workers
+for the same pinned CPUs. Event-log profiling (tools/profile_rollup.py)
+isolated the dominant term: ~24% of executor run time in G1 GC pauses
+under the original 48g heap, hitting the wide arm disproportionately
+(GC work scales with allocation rate, i.e. with cores). Switching the
+local-mode defaults to ParallelGC + 8g heap + 512-row Arrow batches
+(tools/ab_gc.py A/B) removed most of it — both arms got faster AND the
+ratio crossed the 0.8 bar. The residual sub-1.0 term is the remaining
+shared scan/serializer/DRAM layer, which a real 4N-executor cluster
+scales out per executor; the local-mode proxy charges it against the job.
 
 **Measurement protocol.** This VM is a shared host with steal-time noise
 (identical runs vary 3-7x). A pinned busy-loop CAPACITY PROBE runs
