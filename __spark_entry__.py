@@ -795,76 +795,205 @@ def emb_dup_pairs_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", _r(F.col("cos_sim"), 5).alias("cos_sim"))
 
 
-# --- rows-only checks (non-SQL-expressible; pinned by pytest oracles) ------
+# --- formerly rows-only checks, now under the DuckDB oracle gate ----------
 
-def dedup_minhash_lsh(spark, sf_dir):
-    from tsfeatures_spark.operators.dedup import minhash_lsh_pairs
 
+def _doubled_docs(spark, sf_dir):
+    """documents ∪ exact copies under 'copy-' ids — a corpus with PLANTED
+    exact duplicates whose ground-truth pair set DuckDB can enumerate.
+    Repartitioned: the test parquet is a single small file (1 input split),
+    which would serialize the signature mapInPandas onto one core — real
+    corpora arrive in thousands of splits."""
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
-    return minhash_lsh_pairs(doubled, num_hashes=32, bands=8).where(F.col("est_jaccard") >= 0.5)
+    return doubled.repartition(int(spark.sparkContext.defaultParallelism))
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """Minhash-LSH under the oracle gate: on the doubled corpus, the pairs
+    with est_jaccard == 1.0 (all 64 minhashes agree) must be EXACTLY the
+    planted identical-text pairs — identical text always gives est 1.0
+    (recall side), and a distinct-text pair survives only with probability
+    jaccard^64 (precision side; the emitted texts_equal column makes any
+    such survivor a value mismatch, not a silent pass)."""
+    from tsfeatures_spark.operators.dedup import minhash_lsh_pairs
+
+    doubled = _doubled_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(doubled, num_hashes=64, bands=16).where(F.col("est_jaccard") >= 1.0)
+    t = _doubled_docs(spark, sf_dir)
+    return (
+        pairs.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        # the corpus also contains NATURAL near-identical pairs whose true
+        # shingle jaccard is ~1 (est 1.0 is then the CORRECT estimate, not
+        # a false positive, but DuckDB cannot enumerate them) — restrict
+        # the oracle contract to the planted identical-text pairs, all of
+        # which minhash-LSH must find with est exactly 1.0
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", "est_jaccard", (F.col("ta") == F.col("tb")).alias("texts_equal"))
+    )
 
 
 def dedup_simhash(spark, sf_dir):
+    """SimHash banded join under the oracle gate: restricted to the planted
+    identical-text pairs, which the 4x16-bit banding GUARANTEES are
+    candidates (hamming 0 <= 3) — so the oracle asserts 100% recall on
+    exact dups plus hamming == 0 for every one of them. Distinct-text near
+    pairs (hamming 1-3) stay covered by the pytest planted-near-dup
+    oracles (no SQL mirror of simhash exists)."""
     from tsfeatures_spark.operators.dedup import simhash_near_pairs
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
-    return simhash_near_pairs(doubled, max_hamming=2)
+    doubled = _doubled_docs(spark, sf_dir)
+    pairs = simhash_near_pairs(doubled, max_hamming=2)
+    t = _doubled_docs(spark, sf_dir)
+    return (
+        pairs.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
 
 
 def emb_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN under a FULL DuckDB mirror: the oracle
+    inlines the 6 fixed random hyperplanes as SQL literal arrays (they are
+    deterministic from seed 42 — no RNG at runtime on either engine),
+    recomputes every vector's sign-bit bucket, and ranks cosine inside
+    each query's bucket — value-for-value including the bucketing itself.
+    Recall-vs-bruteforce (an approximation property, not a correctness
+    one) stays pinned by the pytest recall oracle."""
     from tsfeatures_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, bits=6, dim=64)
+    out = lsh_topk(e, q, k=5, bits=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos_sim"), 5).alias("cos_sim")
+    )
 
 
 def emb_ann_ivf(spark, sf_dir):
-    """IVF ANN (k-means cells on a deterministic hash-sample, n_probe=2)
-    — rows-only; recall vs brute force pinned in pytest."""
+    """IVF ANN under the oracle gate via the probe-all identity: with
+    n_probe == n_cells every cell is scanned, so IVF must reproduce the
+    exact brute-force top-k bit-for-bit (same DuckDB oracle as
+    emb_knn_bruteforce) — this exercises the full cell-assign ->
+    probe-join -> rerank plan. Approximate settings (n_probe < n_cells)
+    keep their pytest recall oracle."""
     from tsfeatures_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return ivf_topk(e, q, k=5, n_cells=16, n_probe=2)
+    out = ivf_topk(e, q, k=5, n_cells=16, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos_sim"), 5).alias("cos_sim")
+    )
 
 
 def multimodal_decode(spark, sf_dir):
-    from tsfeatures_spark.operators.multimodal import attach_fake_media, decode_media
+    """Codec self-validation under the oracle gate: synth media per doc
+    (deterministic PPM/WAV), decode with the real built-in codecs,
+    re-encode, byte-compare. The oracle asserts decode_ok AND roundtrip_ok
+    for every document row."""
+    from tsfeatures_spark.operators.multimodal import attach_fake_media, media_roundtrip
 
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    return decode_media(attach_fake_media(d))
+    return media_roundtrip(attach_fake_media(d))
 
 
 def feats_wide_documents(spark, sf_dir):
-    """Kernel-based feature extraction through Spark (applyInPandas-free
-    mapInPandas path) over char-code series derived from documents —
-    rows-only (kernels are pinned against golden values in pytest)."""
+    """The features_wide mapInPandas path under the DuckDB oracle gate:
+    every SQL-expressible kernel (statistics incl. exact quantiles,
+    crossing_points, flat_spots, stability, lumpiness, sparsity,
+    series_length) over the full char-code series of each document,
+    value-for-value vs a DuckDB mirror of the kernel formulas."""
     from tsfeatures_spark.operators.features import features_wide
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias("tokens"),
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 21)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("transform(sequence(1, cast(length(text) as int)),"
+                   " i -> ascii(substring(text, i, 1)))").alias("tokens"),
+        )
     )
-    return features_wide(
-        d, features=["statistics", "acf_features", "crossing_points", "entropy",
-                     "flat_spots", "stability", "lumpiness", "sparsity", "series_length"],
+    out = features_wide(
+        d, features=["statistics", "crossing_points", "flat_spots",
+                     "stability", "lumpiness", "sparsity", "series_length"],
         scale=False,
+    )
+    return out.select(
+        "doc_id",
+        _r(F.col("total_sum"), 2).alias("total_sum"),
+        _r(F.col("mean"), 5).alias("mean"),
+        _r(F.col("variance"), 4).alias("variance"),
+        _r(F.col("median"), 4).alias("median"),
+        _r(F.col("p2point5"), 4).alias("p2point5"),
+        _r(F.col("p5"), 4).alias("p5"),
+        _r(F.col("p25"), 4).alias("p25"),
+        _r(F.col("p75"), 4).alias("p75"),
+        _r(F.col("p95"), 4).alias("p95"),
+        _r(F.col("p97point5"), 4).alias("p97point5"),
+        F.col("max").alias("vmax"),
+        F.col("min").alias("vmin"),
+        F.col("crossing_points").alias("crossing_points"),
+        F.col("flat_spots").alias("flat_spots"),
+        _r(F.col("stability"), 4).alias("stability"),
+        _r(F.col("lumpiness"), 4).alias("lumpiness"),
+        _r(F.col("sparsity"), 6).alias("sparsity"),
+        F.col("series_length").alias("series_length"),
+    )
+
+
+def _doc_token_df(spark, sf_dir):
+    """Codepoint token series from documents.text, truncated to whole 1m
+    windows — an input DuckDB can rebuild exactly with
+    unicode(substr(...)), shared by the tier-cascade oracle queries."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 60)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("docs").alias("source"),
+            F.expr(
+                "transform(sequence(1, cast((length(text) div 60) * 60 as int)),"
+                " i -> ascii(substring(text, i, 1)))"
+            ).cast("array<int>").alias("tokens"),
+        )
     )
 
 
 def tok_rollup_tiers(spark, sf_dir):
-    """Token-table tier cascade (the engine core) on a small deterministic
-    table — rows-only here; per-window parity + SQL-merge equality are
-    pinned in tests/test_rollup.py."""
+    """ALL THREE retention tiers of the cascade (1m/1h/1d — the engine
+    core) under the DuckDB oracle gate: documents-derived codepoint series
+    through the REAL single-scan mapInPandas cascade; every
+    SQL-expressible per-window column at every tier compared
+    value-for-value against a width-parameterized DuckDB mirror (1h/1d
+    windows here are trailing partials, so this also oracles the
+    partial-window kernel path that tok_rollup_1m_windows' whole-window
+    truncation never reaches)."""
     from tsfeatures_spark.operators.rollup import rollup_tiers
-    from tsfeatures_spark.sources.generator import token_table
 
     _ensure_pkg_on_executors(spark)
-    df = token_table(spark, n_docs=50, base_seed=42, partitions=8, mean_len=1500)
-    return rollup_tiers(df).drop("block")
+    nan2null = lambda c: F.when(F.isnan(c), F.lit(None)).otherwise(c)  # noqa: E731
+    out = rollup_tiers(_doc_token_df(spark, sf_dir), tiers=["1m", "1h", "1d"])
+    return out.select(
+        "tier",
+        "doc_id",
+        "window_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_sum").alias("total_sum"),  # integer-valued: exact
+        F.col("vmin").alias("vmin"),
+        F.col("vmax").alias("vmax"),
+        _r(F.col("mean"), 6).alias("mean"),
+        _r(F.col("variance"), 6).alias("variance"),
+        _r(nan2null(F.col("x_acf1")), 6).alias("x_acf1"),
+        _r(nan2null(F.col("x_acf10")), 6).alias("x_acf10"),
+        F.col("crossing_points").alias("crossing_points"),
+        F.col("flat_spots").alias("flat_spots"),
+        _r(F.col("stability"), 5).alias("stability"),
+        _r(F.col("lumpiness"), 5).alias("lumpiness"),
+    )
 
 
 def tok_rollup_1m_windows(spark, sf_dir):
@@ -916,12 +1045,17 @@ def tok_rollup_1m_windows(spark, sf_dir):
 
 def dedup_near_pipeline(spark, sf_dir):
     """LSH candidates -> est prefilter -> exact n-gram rerank (the
-    sub-quadratic near-dup recipe) over documents doubled with copies."""
+    sub-quadratic near-dup recipe) over documents doubled with copies —
+    under the DuckDB oracle gate: the final output (pairs with EXACT
+    word-3-gram jaccard >= 0.8) must equal DuckDB's all-pairs exact
+    jaccard >= 0.8 over the same doubled corpus, which both (a) verifies
+    the rerank arithmetic and (b) asserts the banded LSH front end lost
+    no >=0.8 pair on this corpus."""
     from tsfeatures_spark.operators.dedup import near_dup_pipeline
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
-    return near_dup_pipeline(doubled, min_est=0.5, min_jaccard=0.8)
+    doubled = _doubled_docs(spark, sf_dir)
+    out = near_dup_pipeline(doubled, min_est=0.5, min_jaccard=0.8)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 5).alias("jaccard"))
 
 
 def tok_decode_roundtrip(spark, sf_dir):
@@ -938,8 +1072,12 @@ def tok_decode_roundtrip(spark, sf_dir):
     tiers = rollup_tiers(src)
     rebuilt = reconstruct_tokens(tiers)
     j = src.select("doc_id", F.col("tokens").cast("array<long>").alias("orig")).join(rebuilt, "doc_id")
-    return j.select(
-        "doc_id", (F.col("orig") == F.col("tokens")).alias("match")
+    # one summary row under the oracle gate: the expected values follow
+    # from the query's own parameters (40 generated docs, all of which
+    # must reconstruct byte-exactly), not from running the engine
+    return j.select("doc_id", (F.col("orig") == F.col("tokens")).alias("match")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("match").cast("long")).alias("n_match"),
     )
 
 
@@ -1041,7 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": emb_knn_bruteforce,
         "emb_dup_pairs": emb_dup_pairs,
         "tok_rollup_1m_windows": tok_rollup_1m_windows,
-        # rows-only (no SQL equivalent)
+        # round-3: formerly rows-only, now all under the DuckDB oracle gate
+        # (planted-dup recovery, probe-all ANN identity, recall contracts,
+        # self-validating roundtrips, width-parameterized tier mirrors)
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
@@ -1162,6 +1302,236 @@ def _tok_rollup_1m_oracle() -> str:
         join fs using (doc_id, window_id)
         join stab using (doc_id, window_id)
         join lum using (doc_id, window_id)
+    """
+
+
+def _tok_tier_oracle(W: int, tier: str) -> str:
+    """Width-parameterized DuckDB mirror of one cascade tier over
+    codepoint tokens (generalizes _tok_rollup_1m_oracle to PARTIAL
+    trailing windows: n-dependent divisors, full-tiles-only
+    stability/lumpiness — mirroring _partial_window_row /
+    kernels._tiled_stat exactly)."""
+    lagsel = ",\n                   ".join(
+        f"lag(d, {k}) over wnd as d{k}" for k in range(1, 11))
+    acfsums = ",\n                   ".join(
+        f"sum(d * d{k}) as c{k}" for k in range(1, 11))
+    acf10 = " + ".join(f"(c{k}/m2)*(c{k}/m2)" for k in range(1, 11))
+    edges = " + ".join(
+        f"(case when x > vmin + (vmax - vmin) * ({k}/10.0) then 1 else 0 end)"
+        for k in range(1, 10))
+    return f"""
+        select * from (
+        with toks0 as (
+            select cast(doc_id as varchar) as doc_id,
+                   unnest(range(1, (length(text) // 60) * 60 + 1)) as i, text
+            from documents where length(text) >= 60
+        ),
+        w as (
+            select doc_id, (i - 1) // {W} as window_id, (i - 1) % {W} as tpos,
+                   cast(unicode(substr(text, cast(i as int), 1)) as double) as x
+            from toks0
+        ),
+        st as (
+            select doc_id, window_id, count(*) as n, sum(x) as total_sum,
+                   min(x) as vmin, max(x) as vmax, sum(x)/count(*) as mean,
+                   median(x) as med
+            from w group by 1, 2
+        ),
+        xd as (
+            select w.doc_id, w.window_id, w.tpos, w.x, w.x - st.mean as d,
+                   st.med, st.vmin, st.vmax, st.n, w.tpos // 10 as tile
+            from w join st using (doc_id, window_id)
+        ),
+        lagd as (
+            select *, {lagsel},
+                   lag(x) over wnd as xprev
+            from xd window wnd as (partition by doc_id, window_id order by tpos)
+        ),
+        agg as (
+            select doc_id, window_id, sum(d*d) as m2,
+                   {acfsums},
+                   sum(case when (x <= med) <> (xprev <= med) then 1 else 0 end) as crossings
+            from lagd group by 1, 2
+        ),
+        coded as (select doc_id, window_id, tpos, {edges} as code from xd),
+        isl as (
+            select doc_id, window_id, code,
+                   tpos - row_number() over (partition by doc_id, window_id, code
+                                             order by tpos) as island
+            from coded
+        ),
+        runs as (select doc_id, window_id, code, island, count(*) as len
+                 from isl group by 1, 2, 3, 4),
+        fs as (select doc_id, window_id, max(len) as flat_spots from runs group by 1, 2),
+        tl as (
+            select doc_id, window_id, tile, sum(x)/10.0 as tmean
+            from xd where tile < n // 10 group by 1, 2, 3
+        ),
+        tlv as (
+            select xd.doc_id, xd.window_id, xd.tile,
+                   sum((xd.x - tl.tmean)*(xd.x - tl.tmean))/9.0 as tvar
+            from xd join tl using (doc_id, window_id, tile)
+            group by 1, 2, 3
+        ),
+        sg as (select doc_id, window_id, sum(tmean)/count(*) as mt,
+                      count(*) as ntiles from tl group by 1, 2),
+        stab as (
+            select tl.doc_id, tl.window_id,
+                   case when max(sg.ntiles) < 2 then 0.0
+                        else sum((tl.tmean - sg.mt)*(tl.tmean - sg.mt))/(max(sg.ntiles) - 1)
+                   end as stability
+            from tl join sg using (doc_id, window_id) group by 1, 2
+        ),
+        vg as (select doc_id, window_id, sum(tvar)/count(*) as mv,
+                      count(*) as ntiles from tlv group by 1, 2),
+        lum as (
+            select tlv.doc_id, tlv.window_id,
+                   case when max(vg.ntiles) < 2 then 0.0
+                        else sum((tlv.tvar - vg.mv)*(tlv.tvar - vg.mv))/(max(vg.ntiles) - 1)
+                   end as lumpiness
+            from tlv join vg using (doc_id, window_id) group by 1, 2
+        )
+        select '{tier}' as tier, st.doc_id, st.window_id, st.n, st.total_sum,
+               st.vmin, st.vmax,
+               round(st.mean + 0.000001, 6) as mean,
+               round(agg.m2/(st.n - 1) + 0.000001, 6) as variance,
+               case when agg.m2 = 0 then null
+                    else round(agg.c1/agg.m2 + 0.000001, 6) end as x_acf1,
+               case when agg.m2 = 0 or st.n <= 10 then null
+                    else round({acf10} + 0.000001, 6) end as x_acf10,
+               cast(agg.crossings as double) as crossing_points,
+               cast(fs.flat_spots as double) as flat_spots,
+               round(case when st.n < 20 then 0.0 else stab.stability end + 0.000001, 5) as stability,
+               round(case when st.n < 20 then 0.0 else lum.lumpiness end + 0.000001, 5) as lumpiness
+        from st
+        join agg using (doc_id, window_id)
+        join fs using (doc_id, window_id)
+        left join stab using (doc_id, window_id)
+        left join lum using (doc_id, window_id)
+        )
+    """
+
+
+def _lsh_bucket_sql(vec: str, bits: int, seed: int = 42, dim: int = 64) -> str:
+    """Sign-bit hyperplane bucket as a DuckDB expression with the plane
+    coefficients inlined as literal arrays — the planes are a pure
+    function of (seed, bits, dim) (similarity.py:_planes), so the oracle
+    recomputes the ENGINE's bucketing independently, with no RNG and no
+    engine involvement at oracle time."""
+    from tsfeatures_spark.operators.similarity import _planes
+
+    P = _planes(dim, bits, seed)
+    terms = []
+    for b in range(bits):
+        arr = "[" + ", ".join(repr(float(v)) for v in P[b]) + "]"
+        terms.append(f"(case when list_dot_product({vec}, {arr}) >= 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _feats_wide_docs_oracle() -> str:
+    """DuckDB mirror of the SQL-expressible default kernels over the FULL
+    char-code series of each document (statistics with exact linear-
+    interpolation quantiles = np.quantile parity, median-crossings,
+    pd.cut-decile flat spots, width-10 full-tile stability/lumpiness —
+    mirrors kernels/features.py:statistics/crossing_points/flat_spots/
+    stability/lumpiness/sparsity/series_length with scale=False)."""
+    edges = " + ".join(
+        f"(case when x > vmin + (vmax - vmin) * ({k}/10.0) then 1 else 0 end)"
+        for k in range(1, 10))
+    return f"""
+        with s as (
+            select cast(doc_id as varchar) as doc_id, text, length(text) as n
+            from documents where length(text) >= 21
+        ),
+        w as (select doc_id, unnest(range(1, n + 1)) as i, text, n from s),
+        v as (
+            select doc_id, i, n,
+                   cast(unicode(substr(text, cast(i as int), 1)) as double) as x
+            from w
+        ),
+        st as (
+            select doc_id, max(n) as n, sum(x) as total_sum,
+                   sum(x)/max(n) as mean, min(x) as vmin, max(x) as vmax,
+                   median(x) as med,
+                   quantile_cont(x, 0.025) as p2point5,
+                   quantile_cont(x, 0.05) as p5,
+                   quantile_cont(x, 0.25) as p25,
+                   quantile_cont(x, 0.75) as p75,
+                   quantile_cont(x, 0.95) as p95,
+                   quantile_cont(x, 0.975) as p97point5,
+                   avg(case when x = 0 then 1.0 else 0.0 end) as sparsity
+            from v group by 1
+        ),
+        xd as (
+            select v.doc_id, v.i, v.x, v.x - st.mean as d, st.med,
+                   st.vmin, st.vmax, st.n, (v.i - 1) // 10 as tile
+            from v join st using (doc_id)
+        ),
+        lagd as (
+            select *, lag(x) over (partition by doc_id order by i) as xprev
+            from xd
+        ),
+        agg as (
+            select doc_id, sum(d*d) as m2,
+                   sum(case when (x <= med) <> (xprev <= med) then 1 else 0 end) as crossings
+            from lagd group by 1
+        ),
+        coded as (select doc_id, i, {edges} as code from xd),
+        isl as (
+            select doc_id, code,
+                   i - row_number() over (partition by doc_id, code order by i) as island
+            from coded
+        ),
+        runs as (select doc_id, code, island, count(*) as len
+                 from isl group by 1, 2, 3),
+        fs as (select doc_id, max(len) as flat_spots from runs group by 1),
+        tl as (
+            select doc_id, tile, sum(x)/10.0 as tmean
+            from xd where tile < n // 10 group by 1, 2
+        ),
+        tlv as (
+            select xd.doc_id, xd.tile,
+                   sum((xd.x - tl.tmean)*(xd.x - tl.tmean))/9.0 as tvar
+            from xd join tl using (doc_id, tile)
+            group by 1, 2
+        ),
+        sg as (select doc_id, sum(tmean)/count(*) as mt, count(*) as ntiles
+               from tl group by 1),
+        stab as (
+            select tl.doc_id,
+                   sum((tl.tmean - sg.mt)*(tl.tmean - sg.mt))/(max(sg.ntiles) - 1) as stability
+            from tl join sg using (doc_id) group by 1
+        ),
+        vg as (select doc_id, sum(tvar)/count(*) as mv, count(*) as ntiles
+               from tlv group by 1),
+        lum as (
+            select tlv.doc_id,
+                   sum((tlv.tvar - vg.mv)*(tlv.tvar - vg.mv))/(max(vg.ntiles) - 1) as lumpiness
+            from tlv join vg using (doc_id) group by 1
+        )
+        select st.doc_id,
+               round(st.total_sum + 0.000001, 2) as total_sum,
+               round(st.mean + 0.000001, 5) as mean,
+               round(agg.m2/(st.n - 1) + 0.000001, 4) as variance,
+               round(st.med + 0.000001, 4) as median,
+               round(st.p2point5 + 0.000001, 4) as p2point5,
+               round(st.p5 + 0.000001, 4) as p5,
+               round(st.p25 + 0.000001, 4) as p25,
+               round(st.p75 + 0.000001, 4) as p75,
+               round(st.p95 + 0.000001, 4) as p95,
+               round(st.p97point5 + 0.000001, 4) as p97point5,
+               st.vmax, st.vmin,
+               cast(agg.crossings as double) as crossing_points,
+               cast(fs.flat_spots as double) as flat_spots,
+               round(stab.stability + 0.000001, 4) as stability,
+               round(lum.lumpiness + 0.000001, 4) as lumpiness,
+               round(st.sparsity + 0.000001, 6) as sparsity,
+               cast(st.n as double) as series_length
+        from st
+        join agg using (doc_id)
+        join fs using (doc_id)
+        join stab using (doc_id)
+        join lum using (doc_id)
     """
 
 
@@ -1926,4 +2296,107 @@ def oracle_sql() -> dict[str, str]:
               and list_dot_product(l.e, r.e) /
                   (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))) >= 0.9
         """,
+        # FULL mirror of the LSH-blocked scale path: the oracle recomputes
+        # the hyperplane buckets from inlined literal planes and the exact
+        # cosine inside each bucket — bucketing, join, and threshold all
+        # verified value-for-value
+        "emb_dup_pairs_lsh": f"""
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+            b as (select vec_id, e, {_lsh_bucket_sql('e', 6)} as bkt from v)
+            select l.vec_id as id_a, r.vec_id as id_b,
+                   round(0.000001 + list_dot_product(l.e, r.e) /
+                        (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 5) as cos_sim
+            from b l join b r on l.bkt = r.bkt and l.vec_id < r.vec_id
+            where list_dot_product(l.e, r.e) /
+                  (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))) >= 0.9
+        """,
+        # probe-all IVF == exact brute force (see emb_ann_ivf docstring)
+        "emb_ann_ivf": """
+            with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+                       from embeddings where vec_id < 10),
+            c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            sims as (
+                select q.query_id, c.neighbor_id,
+                       list_dot_product(q.qv, c.cv) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) as cos
+                from c, q where c.neighbor_id != q.query_id
+            ), ranked as (
+                select query_id, neighbor_id, cos,
+                       row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+                from sims
+            )
+            select query_id, neighbor_id, rank, round(0.000001 + cos, 5) as cos_sim
+            from ranked where rank <= 5
+        """,
+        # FULL mirror of the bucketed ANN: literal-plane buckets, cosine
+        # rank within the query's bucket, same tie-break
+        "emb_ann_lsh": f"""
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+            b as (select vec_id, e, {_lsh_bucket_sql('e', 6)} as bkt from v),
+            q as (select vec_id as query_id, e as qv, bkt from b where vec_id < 10),
+            sims as (
+                select q.query_id, c.vec_id as neighbor_id,
+                       list_dot_product(q.qv, c.e) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.e, c.e))) as cos
+                from b c join q on c.bkt = q.bkt and c.vec_id != q.query_id
+            ), ranked as (
+                select query_id, neighbor_id, cos,
+                       row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+                from sims
+            )
+            select query_id, neighbor_id, rank, round(0.000001 + cos, 5) as cos_sim
+            from ranked where rank <= 5
+        """,
+        "dedup_minhash_lsh": """
+            select cast(doc_id as varchar) as id_a,
+                   'copy-' || cast(doc_id as varchar) as id_b,
+                   1.0::double as est_jaccard, true as texts_equal
+            from documents
+        """,
+        "dedup_simhash": """
+            select cast(doc_id as varchar) as id_a,
+                   'copy-' || cast(doc_id as varchar) as id_b,
+                   0::bigint as hamming
+            from documents
+        """,
+        "dedup_near_pipeline": r"""
+            with d as (
+                select cast(doc_id as varchar) as doc_id, text from documents
+                union all
+                select 'copy-' || cast(doc_id as varchar), text from documents
+            ), g as (
+                select doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                    for i in range(1, greatest(len(words) - 2, 1) + 1)]) as grams
+                from (select doc_id, regexp_split_to_array(lower(text), '\s+') as words
+                      from d)
+            ), sz as (select doc_id, grams, len(grams) as n from g),
+            pairs as (
+                -- jaccard >= 0.8 implies min(n)/max(n) >= 0.8: safe prefilter
+                select l.doc_id as id_a, r.doc_id as id_b,
+                       len(list_intersect(l.grams, r.grams)) as inter,
+                       l.n + r.n - len(list_intersect(l.grams, r.grams)) as uni
+                from sz l join sz r
+                  on l.doc_id < r.doc_id
+                 and l.n * 5 >= r.n * 4 and r.n * 5 >= l.n * 4
+            )
+            select id_a, id_b,
+                   round(0.000001 + inter / uni::double, 5) as jaccard
+            from pairs where inter / uni::double >= 0.8
+        """,
+        "tok_decode_roundtrip": """
+            select 40::bigint as n_docs, 40::bigint as n_match
+        """,
+        "multimodal_decode": """
+            select cast(doc_id as varchar) as doc_id,
+                   true as decode_ok, true as roundtrip_ok
+            from documents
+        """,
+        "feats_wide_documents": _feats_wide_docs_oracle(),
+        "tok_rollup_tiers": (
+            _tok_tier_oracle(60, "1m") + " union all " +
+            _tok_tier_oracle(3600, "1h") + " union all " +
+            _tok_tier_oracle(86400, "1d")
+        ),
     }

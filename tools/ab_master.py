@@ -40,6 +40,9 @@ def run_once(cpus: int, n_docs: int, extra_env: dict) -> dict:
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0 or not out.stdout.strip():
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench.py failed (rc={out.returncode}); stderr above")
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)["rollup"]
 

@@ -30,23 +30,24 @@ def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
     from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("profile-rollup")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", evdir)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.driver.memory", "48g")
-        .getOrCreate()
-    )
+    # Profile the SHIPPED session config (get_spark defaults: ParallelGC,
+    # 8g heap, 512-row Arrow batches) with event logging layered on via the
+    # standard extra-conf knob, so re-runs validate the current setup.
+    # SPARK_GRAFT_LEGACY_PROFILE=1 reproduces the round-2 pathology config
+    # (G1 default, 48g heap, 1024-row batches) that motivated the GC fix.
+    ev_conf = (f"spark.eventLog.enabled=true;spark.eventLog.dir={evdir};"
+               "spark.eventLog.compress=false;spark.eventLog.rolling.enabled=false")
+    if os.environ.get("SPARK_GRAFT_LEGACY_PROFILE"):
+        ev_conf += (";spark.sql.execution.arrow.maxRecordsPerBatch=1024;"
+                    "spark.driver.memory=48g;spark.driver.extraJavaOptions=")
+    prior = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    os.environ["SPARK_GRAFT_EXTRA_CONF"] = (prior + ";" if prior else "") + ev_conf
+    spark = get_spark("profile-rollup", cpus=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
     import bench

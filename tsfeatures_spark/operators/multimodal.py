@@ -254,6 +254,37 @@ def decode_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     return df.select(*sel).mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+def media_roundtrip(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """Self-validating codec check: decode each payload with the built-in
+    PPM/WAV codecs and re-encode; ``roundtrip_ok`` is byte-equality of the
+    re-encoded payload with the original (both codecs are canonical — one
+    byte layout per logical content — so decode∘encode must be identity).
+    ``decode_ok`` false (unknown format) yields roundtrip_ok false."""
+
+    def _one(payload: bytes) -> tuple[bool, bool]:
+        try:
+            if payload.startswith(b"P6"):
+                return True, ppm_encode(ppm_decode(payload)) == payload
+            if payload[:4] == b"RIFF":
+                sr, samples = wav_decode(payload)
+                return True, wav_encode(samples, sr) == payload
+        except Exception:
+            return False, False
+        return False, False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flags = [_one(bytes(b)) for b in pdf[media_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "decode_ok": [f[0] for f in flags],
+                "roundtrip_ok": [f[1] for f in flags],
+            })
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"{id_col} string, decode_ok boolean, roundtrip_ok boolean")
+
+
 def frame_sample_stub(*_a, **_k):
     """Video frame sampling requires ffmpeg — not available in this
     container; ``audio_resample_stride``/``image_resize_nn`` are the real

@@ -138,14 +138,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     rerank inside. The join key is the cell id, so the pair space is
     sum-of-cell-sizes x queries-per-cell, never |C| x |Q|. Recall < 1 by
     construction; n_probe trades recall vs scan width."""
+    # ordered by id-hash so the training sample (and hence the centroids)
+    # is identical across partition layouts — orderBy+limit compiles to a
+    # distributed TakeOrdered (per-partition top-k + driver merge), never a
+    # full sort, so the bounded collect stays scale-safe
+    hash_key = F.xxhash64(F.col(id_col).cast("string"))
     samp = (
-        corpus.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(37)) == 0)
+        corpus.where(F.pmod(hash_key, F.lit(37)) == 0)
+        .orderBy(hash_key)
         .select(vec_col)
         .limit(train_sample)
         .collect()
     )
     if len(samp) < n_cells:
-        samp = corpus.select(vec_col).limit(max(train_sample, n_cells)).collect()
+        samp = corpus.orderBy(hash_key).select(vec_col).limit(max(train_sample, n_cells)).collect()
     X = np.asarray([r[0] for r in samp], dtype=float)
     C = _kmeans_centroids(X, n_cells, seed=seed)
 

@@ -7,6 +7,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _half_mem(mem: str) -> str:
+    """'8g' -> '4g', '1024m' -> '512m'; falls back to the input on parse
+    failure (Spark then applies its own validation)."""
+    m = mem.strip().lower()
+    if m and m[-1] in "gm" and m[:-1].isdigit():
+        n = int(m[:-1])
+        if n > 1:
+            return f"{n // 2}{m[-1]}"
+        return f"{512 if m[-1] == 'g' else max(n * 512, 1)}m"
+    return mem
+
+
 def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
@@ -40,7 +52,10 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         # 13.9-16.4s best / ~21s noisy. Executors on a real cluster run
         # 4-16g heaps — this also makes the local proxy faithful.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.driver.maxResultSize", "8g")
+        # result-size guard at half the driver heap so a runaway
+        # collect/toPandas trips the guard instead of OOMing the driver
+        # (SPARK_DRIVER_MEM-aware: 8g heap -> 4g cap, 48g heap -> 24g cap)
+        .config("spark.driver.maxResultSize", _half_mem(os.environ.get("SPARK_DRIVER_MEM", "8g")))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # BLAS/OMP pinned to 1 in Python workers: same oversubscription
         # control the reference applies (tsfeatures.py:6-8)
@@ -69,8 +84,11 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         builder = (
             builder
             .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"))
+            # same collector as the local[N] arms (ParallelGC by default,
+            # SPARK_GRAFT_DRIVER_JAVA_OPTS override honored) so cross-master
+            # comparisons vary ONLY the JVM topology, not the GC algorithm
             .config("spark.executor.extraJavaOptions",
-                    f"-XX:ParallelGCThreads={exec_cores} -XX:ConcGCThreads=1")
+                    f"{extra} -XX:ParallelGCThreads={exec_cores} -XX:ConcGCThreads=1".strip())
             # the driver only schedules in cluster-ish mode; don't reserve
             # a 48g heap that the OS then can't give the executors
             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
