@@ -1632,9 +1632,13 @@ def oracle_sql() -> dict[str, str]:
         "ts_fixture_fit_kernels": """
             -- pinned literals: the deterministic kernel outputs on the
             -- reference parity corpus (regenerate via tools/gen_fixture_oracle.py
-            -- whenever a fit kernel's numerics change intentionally)
+            -- whenever a fit kernel's numerics change intentionally).
+            -- holt/hw values additionally carry an INDEPENDENT optimality
+            -- certificate: tests/test_fit_independent.py proves they
+            -- minimize the one-step SSE to ~1e-9 relative vs a
+            -- from-scratch Nelder-Mead multistart
             select * from (values
-            ('USAccDeaths', 12.0::double, 0.545893::double, 0.446158::double, 0.690079::double, 5e-06::double, 0.089512::double, 0.9999::double, 0.0001::double, 0.5833::double, 0.0418::double, 0.0001::double, 0.156537::double, 0.156537::double, 0.12825::double, 0.12825::double, 1.0::double, 12.0::double, 0.888305::double, 1.36e-06::double, -2.3138::double, 2.8745::double, 0.105979::double, 0.115527::double, 0.970457::double, 7.0::double, 2.0::double),
+            ('USAccDeaths', 12.0::double, 0.545893::double, 0.446158::double, 0.690079::double, 5e-06::double, 0.089512::double, 0.9999::double, 0.0001::double, 0.5663::double, 0.0483::double, 0.0001::double, 0.156537::double, 0.156537::double, 0.12825::double, 0.12825::double, 1.0::double, 12.0::double, 0.888305::double, 1.36e-06::double, -2.3138::double, 2.8745::double, 0.105979::double, 0.115527::double, 0.970457::double, 7.0::double, 2.0::double),
             ('WWWusage', 1.0::double, 0.989961::double, 0.4408::double, 0.938425::double, cast(null as double), 0.001648::double, 0.9999::double, 0.9999::double, cast(null as double), cast(null as double), cast(null as double), 0.046175::double, 0.046175::double, 0.054769::double, 0.054769::double, 0.0::double, 1.0::double, 0.993048::double, 1.01e-06::double, 4.43::double, 1.0703::double, 0.649958::double, 0.648376::double, cast(null as double), cast(null as double), cast(null as double))
             ) as t(series_id, frequency, arch_lm, entropy, hurst, guerrero,
                    nonlinearity, alpha, beta, hw_alpha, hw_beta, hw_gamma,

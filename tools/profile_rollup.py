@@ -49,6 +49,10 @@ def main() -> None:
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = (prior + ";" if prior else "") + ev_conf
     spark = get_spark("profile-rollup", cpus=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    # local-cluster executors run separate JVMs whose Python workers don't
+    # inherit this process's sys.path — ship the package zip
+    import __spark_entry__ as entrymod
+    entrymod._ensure_pkg_on_executors(spark)
 
     import bench
 

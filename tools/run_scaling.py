@@ -335,6 +335,16 @@ local-mode defaults to ParallelGC + 8g heap + 512-row Arrow batches
 (tools/ab_gc.py A/B) removed most of it — both arms got faster AND the
 ratio crossed the 0.8 bar.
 
+**cluster2 noise diagnosis (event-log profiled, round 3):** both
+local-cluster arms are internally clean — cascade-stage balance 0.95-0.98,
+no straggler tail, GC <=9% of task time — yet in noisy windows the SUM of
+task CPU time inflates ~2.9x going 4 -> 16 pinned cores on the same
+input (tools/profile_rollup.py with SPARK_GRAFT_MASTER set): the host
+simply delivers ~1.3x aggregate compute for 4x the pinned vCPUs during
+steal waves. Flat min-wall ratios in such windows measure the hypervisor,
+not the engine; only probe-quiet pairs are a meaningful read for this
+protocol.
+
 **Measurement protocol.** This VM is a shared host with steal-time noise
 (identical runs vary 3-7x). A pinned busy-loop CAPACITY PROBE runs
 immediately before every trial; a trial pair is QUIET when both its
