@@ -48,3 +48,41 @@ def test_scan_prunes_columns(spark):
     # the unused ones (column pruning reached the scan)
     plan = _plan(em.q1_pricing_summary(spark, "/root/testdata/sf0.001"))
     assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_minhash_band_join_shuffles_narrow_rows(spark):
+    """The LSH band self-join + candidate dedup must shuffle only
+    (id, band) rows — the 64-long signature arrays rejoin AFTER the
+    dedup (round-3 restructure: sig bytes out of the widest shuffle)."""
+    import pandas as pd
+
+    from tsfeatures_spark.operators.dedup import minhash_lsh_pairs
+
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(8)],
+                        "text": [f"text number {i} lorem ipsum" for i in range(8)]})
+    df = spark.createDataFrame(pdf)
+    plan = _plan(minhash_lsh_pairs(df))
+    # find every Exchange block and assert none of them carries `sig`
+    # except the ones feeding the final (post-dedup) signature rejoin:
+    # the dedup (HashAggregate on id_a/id_b) must sit ABOVE band Exchanges
+    # that are sig-free. Concretely: the Exchange feeding the aggregate
+    # partial keys (id_a, id_b) must not list sig in its output.
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning(band_id" in ln:
+            assert "sig" not in ln, f"band shuffle carries sig: {ln}"
+
+
+def test_tok_rollup_tiers_query_shuffle_free(spark):
+    """The driver-gate tier-cascade query (all three tiers over documents)
+    compiles to scan -> single mapInPandas, zero Exchange."""
+    plan = _plan(em.tok_rollup_tiers(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+
+
+def test_ivf_plan_has_no_cartesian(spark):
+    """Probe-all IVF stays a cell-equi-join + broadcast — never a
+    cartesian/nested-loop product."""
+    plan = _plan(em.emb_ann_ivf(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -57,6 +57,12 @@ def main() -> None:
         "are the reference's published test expectations; rows without a",
         "golden have no published value (the reference only pins a subset).",
         "",
+        "Fit kernels without a published golden carry an INDEPENDENT",
+        "contract instead: holt/hw params are certified SSE-optimal vs a",
+        "from-scratch Nelder-Mead multistart and stl components satisfy",
+        "reconstruction/strength contracts (tests/test_fit_independent.py);",
+        "heterogeneity is documented R-derived-only (SURVEY 2.6.9).",
+        "",
         f"**{n_ok}/{n_golden} golden checks within the reference's own tolerances.**",
         "",
         "| series | feature | ours | golden | abs diff | |",
