@@ -872,6 +872,22 @@ def emb_ann_lsh(spark, sf_dir):
     )
 
 
+def emb_ann_lsh_probe2(spark, sf_dir):
+    """Margin-ordered MULTI-PROBE LSH ANN under a full DuckDB mirror: the
+    oracle recomputes the literal-plane margins, orders the bit flips by
+    smallest |margin| (the multi-probe heuristic), probes the same 3
+    buckets per query, and ranks cosine over the union — bucketing, probe
+    selection, and rerank all verified value-for-value."""
+    from tsfeatures_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = lsh_topk(e, q, k=5, bits=6, dim=64, probe_bits=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos_sim"), 5).alias("cos_sim")
+    )
+
+
 def emb_ann_ivf(spark, sf_dir):
     """IVF ANN under the oracle gate via the probe-all identity: with
     n_probe == n_cells every cell is scanned, so IVF must reproduce the
@@ -1185,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_lsh_probe2": emb_ann_lsh_probe2,
         "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
         "emb_ann_ivf": emb_ann_ivf,
         "multimodal_decode": multimodal_decode,
@@ -1426,6 +1443,18 @@ def _lsh_bucket_sql(vec: str, bits: int, seed: int = 42, dim: int = 64) -> str:
         arr = "[" + ", ".join(repr(float(v)) for v in P[b]) + "]"
         terms.append(f"(case when list_dot_product({vec}, {arr}) >= 0 then {1 << b} else 0 end)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_margins_sql(vec: str, bits: int, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB list of the signed hyperplane margins (literal planes)."""
+    from tsfeatures_spark.operators.similarity import _planes
+
+    P = _planes(dim, bits, seed)
+    dots = ", ".join(
+        "list_dot_product(%s, [%s])" % (vec, ", ".join(repr(float(v)) for v in P[b]))
+        for b in range(bits)
+    )
+    return f"[{dots}]"
 
 
 def _feats_wide_docs_oracle() -> str:
@@ -2299,6 +2328,43 @@ def oracle_sql() -> dict[str, str]:
             where l.vec_id < r.vec_id
               and list_dot_product(l.e, r.e) /
                   (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))) >= 0.9
+        """,
+        # FULL mirror of margin-ordered multi-probe LSH: recompute literal-
+        # plane margins, rank bit flips by |margin|, probe own + 2 flipped
+        # buckets, cosine-rank the union (same tie-breaks as the engine)
+        "emb_ann_lsh_probe2": f"""
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+            m as (select vec_id, e, {_lsh_margins_sql('e', 6)} as marg from v),
+            bk as (
+                select vec_id, e, marg,
+                       {" + ".join(f"(case when marg[{b+1}] >= 0 then {1 << b} else 0 end)" for b in range(6))} as bkt
+                from m
+            ),
+            q as (
+                select vec_id as query_id, e as qv, bkt,
+                       list_sort([{", ".join(f"{{'m': abs(marg[{b+1}]), 'bit': {b}}}" for b in range(6))}]) as ranked
+                from bk where vec_id < 10
+            ),
+            qp as (
+                select query_id, qv,
+                       unnest([bkt,
+                               xor(bkt, 1 << ranked[1]['bit']),
+                               xor(bkt, 1 << ranked[2]['bit'])]) as pbkt
+                from q
+            ),
+            sims as (
+                select qp.query_id, c.vec_id as neighbor_id,
+                       list_dot_product(qp.qv, c.e) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(c.e, c.e))) as cos
+                from bk c join qp on c.bkt = qp.pbkt and c.vec_id != qp.query_id
+            ), rk as (
+                select query_id, neighbor_id, cos,
+                       row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+                from sims
+            )
+            select query_id, neighbor_id, rank, round(0.000001 + cos, 5) as cos_sim
+            from rk where rank <= 5
         """,
         # FULL mirror of the LSH-blocked scale path: the oracle recomputes
         # the hyperplane buckets from inlined literal planes and the exact

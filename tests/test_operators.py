@@ -132,6 +132,35 @@ def test_lsh_topk_recall(spark):
     assert hits >= 10  # >= 1/3 recall at tiny scale
 
 
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Margin-ordered multi-probe: recall@k must be monotone in
+    probe_bits and reach full recall when every bucket is probed
+    (probe_bits == bits covers all single-flip neighbors; with bits=2
+    that is 3 of 4 buckets — plus the own bucket's complement flip,
+    every vector is within hamming 2, so use bits=2/probe=3 exhaustive)."""
+    from tsfeatures_spark.operators.similarity import brute_topk, lsh_topk
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(150, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(150), "embedding": [v for v in V]})
+    df = spark.createDataFrame(pdf)
+    q = df.where(F.col("vec_id") < 8)
+    exact = brute_topk(df, q, k=3).toPandas()
+
+    def recall(probe_bits):
+        a = lsh_topk(df, q, k=3, bits=4, probe_bits=probe_bits).toPandas()
+        hits = 0
+        for qi in range(8):
+            e = set(exact[exact.query_id == qi]["neighbor_id"])
+            hits += len(e & set(a[a.query_id == qi]["neighbor_id"]))
+        return hits / (8 * 3)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 + 1e-9 and r2 <= r4 + 1e-9
+    assert r4 > r0  # probing strictly helps on random gaussian data
+    assert r2 >= 0.5  # 3 of 16 buckets scanned already recovers half
+
+
 def test_incremental_rollup_and_retention(spark, tmp_path):
     from tsfeatures_spark.plans import ResumableRollupJob, bootstrap_tokens
     from tsfeatures_spark.sources.catalog import IcebergLiteCatalog

@@ -58,33 +58,79 @@ def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.normal(size=(bits, dim))
 
 
-def hyperplane_bucket(vec_col: str, bits: int, seed: int, dim: int) -> Column:
-    """Sign-bit bucket id from ``bits`` fixed random hyperplanes (literal
-    plane arrays — identical on driver and executors, no RNG at runtime)."""
+def hyperplane_margins(vec_col: str, bits: int, seed: int, dim: int) -> Column:
+    """array<double> of signed distances to the ``bits`` fixed random
+    hyperplanes (literal plane arrays — identical on driver and executors,
+    no RNG at runtime). Sign gives the bucket bit; |margin| ranks which
+    bit is most likely wrong (the multi-probe order)."""
     planes = _planes(dim, bits, seed)
-    bucket = F.lit(0).cast("long")
+    dots = []
     for b in range(bits):
         lit_plane = F.array(*[F.lit(float(v)) for v in planes[b]])
-        d = F.aggregate(
+        dots.append(F.aggregate(
             F.zip_with(vec_col, lit_plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        ))
+    return F.array(*dots)
+
+
+def _bucket_of(margins: Column, bits: int) -> Column:
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        bucket = bucket + F.when(F.element_at(margins, b + 1) >= 0,
+                                 F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+def hyperplane_bucket(vec_col: str, bits: int, seed: int, dim: int) -> Column:
+    """Sign-bit bucket id from ``bits`` fixed random hyperplanes."""
+    return _bucket_of(hyperplane_margins(vec_col, bits, seed, dim), bits)
+
+
+def probe_buckets(vec_col: str, bits: int, seed: int, dim: int,
+                  probe_bits: int) -> Column:
+    """Multi-probe bucket list: the vector's own bucket plus the
+    ``probe_bits`` single-bit flips ORDERED BY SMALLEST |margin| — the
+    standard multi-probe LSH heuristic (the hyperplane the vector is
+    closest to is the one most likely to put a true neighbor on the other
+    side). Pure Column expressions; deterministic."""
+    margins = hyperplane_margins(vec_col, bits, seed, dim)
+    bucket = _bucket_of(margins, bits)
+    ranked = F.array_sort(F.array(*[
+        F.struct(F.abs(F.element_at(margins, b + 1)).alias("m"),
+                 F.lit(b).alias("bit"))
+        for b in range(bits)
+    ]))
+    flips = F.transform(
+        F.slice(ranked, 1, probe_bits),
+        # shiftleft needs a literal shift — 2^bit via pow (exact in double
+        # for bit <= 52, and bits <= 64 anyway)
+        lambda s: bucket.bitwiseXOR(F.pow(F.lit(2.0), s["bit"]).cast("long")),
+    )
+    return F.concat(F.array(bucket), flips)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, probe_bits: int = 0) -> DataFrame:
     """Bucketed ANN: join on hyperplane bucket, exact cosine rerank inside.
-    Recall < 1 by construction; bits trades recall vs bucket size.
-    Pass ``dim`` (embedding width) to keep the builder action-free; when
-    omitted, a one-row fallback probe reads it from the corpus."""
+    Recall < 1 by construction; bits trades recall vs bucket size, and
+    ``probe_bits`` > 0 additionally probes that many single-bit-flip
+    neighbor buckets per query (margin-ordered multi-probe — recall rises
+    with probe_bits at probe_bits+1 x the scan cost, corpus untouched: the
+    write-time bucketing never changes). Pass ``dim`` (embedding width) to
+    keep the builder action-free; when omitted, a one-row fallback probe
+    reads it from the corpus."""
     dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     bkt = hyperplane_bucket(vec_col, bits, seed, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bkt.alias("_bkt"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bkt.alias("_bkt"))
+    if probe_bits > 0:
+        probes = probe_buckets(vec_col, bits, seed, dim, probe_bits)
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                           F.explode(probes).alias("_bkt"))
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bkt.alias("_bkt"))
     j = c.join(F.broadcast(q), "_bkt").where(F.col("neighbor_id") != F.col("query_id"))
     cos = cosine_expr("_qv", "_cv").alias("cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
