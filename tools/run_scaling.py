@@ -185,6 +185,10 @@ SESSION_HISTORY = [
     ("round-2 (G1 48g heap)", "e2e", "local[2]", 61.816, "local[8]", 20.162, 0.766),
     ("round-2 (post GC fix)", "compute", "local[2]", 48.377, "local[8]", 14.59, 0.829),
     ("round-2 (post GC fix)", "e2e", "local[2]", 71.772, "local[8]", 21.422, 0.838),
+    # round-3 sink-kernel change (parquet zstd bufferPool OFF — see
+    # session.py) invalidated the accumulated parquet-phase trials; the
+    # rows above are the pre-change bests, re-accumulation started fresh.
+    ("round-3 (pre zstd-pool fix)", "e2e", "local[8]", 21.864, "local[32]", 8.355, 0.654),
 ]
 
 # Driver-protocol reference measured post-GC-fix (python bench.py,

@@ -189,6 +189,11 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
     xf = tokens.astype(np.float64)
     results: dict[str, dict] = {}
     child_means: dict[str, np.ndarray] = {}
+    whole_doc_row: dict | None = None  # docs shorter than a tier width
+    # produce ONE partial window spanning the whole doc — identical
+    # feature values at every such tier (e.g. a 2000-token doc at 1h AND
+    # 1d), so compute once and reuse (~15% of cascade CPU at the default
+    # lognormal doc-length mix; blocks/digests still differ per tier)
     for tier in tiers:
         W = TIERS[tier]
         nw_full = n // W
@@ -201,7 +206,12 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
                      ["n", "total_sum", "vmin", "vmax", "mean", "m2", "variance"] + HOLISTIC_FIELDS}
         rows = {k: np.asarray(v, dtype=float) for k, v in feats.items()}
         if tail:
-            pr = _partial_window_row(xf[nw_full * W :])
+            if nw_full == 0 and tail == n:
+                if whole_doc_row is None:
+                    whole_doc_row = _partial_window_row(xf)
+                pr = whole_doc_row
+            else:
+                pr = _partial_window_row(xf[nw_full * W :])
             for k in rows:
                 rows[k] = np.append(rows[k], pr[k])
         # blocks

@@ -57,6 +57,12 @@ def get_spark(app: str = "tsfeatures_spark", cpus: int | None = None,
         # (SPARK_DRIVER_MEM-aware: 8g heap -> 4g cap, 48g heap -> 24g cap)
         .config("spark.driver.maxResultSize", _half_mem(os.environ.get("SPARK_DRIVER_MEM", "8g")))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # zstd-jni's recycling buffer pool collapses under many concurrent
+        # parquet writer streams in multi-executor JVMs (measured on the
+        # local-cluster[8,2] arm: 35-77s sink walls vs 18-23s with the
+        # pool off — snappy-parity; PARQUET-2160-family behavior). The
+        # pool buys nothing measurable in local mode either — off always.
+        .config("spark.hadoop.parquet.compression.codec.zstd.bufferPool.enabled", "false")
         # BLAS/OMP pinned to 1 in Python workers: same oversubscription
         # control the reference applies (tsfeatures.py:6-8)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
