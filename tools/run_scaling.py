@@ -339,6 +339,14 @@ local-mode defaults to ParallelGC + 8g heap + 512-row Arrow batches
 (tools/ab_gc.py A/B) removed most of it — both arms got faster AND the
 ratio crossed the 0.8 bar.
 
+**cluster2 sink fix (round 3):** the parquet-zstd sink was pathologically
+slow in the multi-executor topology — zstd-jni's recycling buffer pool
+collapses under many concurrent writer streams in small executor JVMs
+(35-77s sink walls vs 18-23s with the pool off; snappy parity; local
+mode indifferent). The engine default is now pool-off (session.py) and
+the parquet-phase trials were re-accumulated from scratch under the
+fixed sink kernel.
+
 **cluster2 noise diagnosis (event-log profiled, round 3):** both
 local-cluster arms are internally clean — cascade-stage balance 0.95-0.98,
 no straggler tail, GC <=9% of task time — yet in noisy windows the SUM of
