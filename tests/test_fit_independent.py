@@ -28,6 +28,8 @@ import numpy as np
 import pytest
 
 from tsfeatures_spark.kernels.features import (
+    HOLT_CERT_ROUNDS,
+    HW_CERT_ROUNDS,
     holt_parameters,
     hw_parameters,
     stl_features,
@@ -150,7 +152,9 @@ def _rand_series(seed: int, n: int = 120, m: int = 12) -> np.ndarray:
 ], ids=["WWWusage", "USAccDeaths", "rand1", "rand2", "rand3"])
 def test_holt_params_minimize_independent_sse(series):
     y = np.asarray(series, dtype=float)
-    p = holt_parameters(y)
+    # certificate runs at CERT depth: the full-depth grid must not be
+    # beaten by an independent 5-start Nelder-Mead on the same objective
+    p = holt_parameters(y, rounds=HOLT_CERT_ROUNDS)
     kernel_sse = holt_sse(y, p["alpha"], p["beta"])
     lo, hi = 1e-4, 1 - 1e-4
     starts = [np.array(s) for s in
@@ -160,6 +164,15 @@ def test_holt_params_minimize_independent_sse(series):
     # the kernel's grid+zoom must be at least as good as an independent
     # 5-start Nelder-Mead on the identical objective (tiny numerical slack)
     assert kernel_sse <= nm_best * (1 + 1e-6) + 1e-9, (kernel_sse, nm_best)
+    # production-depth contract (VERDICT r03 #2): the default depth stays
+    # inside the reference's own golden tolerance (±0.02) of the certified
+    # optimum, at roughly half the per-series cost
+    pd_ = holt_parameters(y)
+    if np.isfinite(p["alpha"]):
+        assert abs(pd_["alpha"] - p["alpha"]) < 0.02
+        assert abs(pd_["beta"] - p["beta"]) < 0.02
+        default_sse = holt_sse(y, pd_["alpha"], pd_["beta"])
+        assert default_sse <= kernel_sse * (1 + 1e-3) + 1e-9
 
 
 # --------------------------------------------------------------------------
@@ -171,7 +184,7 @@ def test_holt_params_minimize_independent_sse(series):
 ], ids=["USAccDeaths", "rand4", "rand5-m8"])
 def test_hw_params_minimize_independent_sse(series, m):
     y = np.asarray(series, dtype=float)
-    p = hw_parameters(y, freq=m)
+    p = hw_parameters(y, freq=m, rounds=HW_CERT_ROUNDS)
     kernel_sse = hw_sse(y, m, p["hw_alpha"], p["hw_beta"], p["hw_gamma"])
     lo, hi = 1e-4, 1 - 1e-4
     starts = [np.array(s) for s in
@@ -179,6 +192,13 @@ def test_hw_params_minimize_independent_sse(series, m):
     nm_best = min(nelder_mead(lambda q: hw_sse(y, m, q[0], q[1], q[2]), s, lo, hi)
                   for s in starts)
     assert kernel_sse <= nm_best * (1 + 1e-6) + 1e-9, (kernel_sse, nm_best)
+    # production-depth contract (VERDICT r03 #2)
+    pd_ = hw_parameters(y, freq=m)
+    if np.isfinite(p["hw_alpha"]):
+        for k in ("hw_alpha", "hw_beta", "hw_gamma"):
+            assert abs(pd_[k] - p[k]) < 0.02, (k, pd_[k], p[k])
+        default_sse = hw_sse(y, m, pd_["hw_alpha"], pd_["hw_beta"], pd_["hw_gamma"])
+        assert default_sse <= kernel_sse * (1 + 1e-3) + 1e-9
 
 
 # --------------------------------------------------------------------------

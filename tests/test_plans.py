@@ -61,16 +61,29 @@ def test_minhash_band_join_shuffles_narrow_rows(spark):
     pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(8)],
                         "text": [f"text number {i} lorem ipsum" for i in range(8)]})
     df = spark.createDataFrame(pdf)
-    plan = _plan(minhash_lsh_pairs(df))
+    # the tiny test input auto-broadcasts the band join (no band Exchange
+    # at all — the r03 test passed vacuously, ADVICE r03); disable
+    # auto-broadcast so the plan compiles the shuffle form this test pins
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(minhash_lsh_pairs(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # find every Exchange block and assert none of them carries `sig`
     # except the ones feeding the final (post-dedup) signature rejoin:
     # the dedup (HashAggregate on id_a/id_b) must sit ABOVE band Exchanges
     # that are sig-free. Concretely: the Exchange feeding the aggregate
     # partial keys (id_a, id_b) must not list sig in its output.
     lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if "Exchange hashpartitioning(band_id" in ln:
-            assert "sig" not in ln, f"band shuffle carries sig: {ln}"
+    band_exchanges = [ln for ln in lines
+                      if "Exchange hashpartitioning(band_id" in ln]
+    # guard against vacuous passes if Spark's plan rendering changes
+    # (ADVICE r03): the narrow-shuffle property is only checked if the
+    # band Exchange lines were actually found
+    assert band_exchanges, f"no band Exchange found in plan:\n{plan[:2000]}"
+    for ln in band_exchanges:
+        assert "sig" not in ln, f"band shuffle carries sig: {ln}"
 
 
 def test_tok_rollup_tiers_query_shuffle_free(spark):
@@ -86,3 +99,48 @@ def test_ivf_plan_has_no_cartesian(spark):
     plan = _plan(em.emb_ann_ivf(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_cell_assignment_projects_scores_once(spark):
+    """The corpus-side cell argmax references the literal-centroid score
+    array exactly once per centroid (single aggregate pass) — the old
+    array_position(scores, array_max(scores)) form expanded the whole
+    expression tree twice per row (VERDICT r03 #7)."""
+    import numpy as np
+
+    from tsfeatures_spark.operators.similarity import _cell_scores, argmax_expr
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>")
+    C = np.eye(3)
+    cell = df.select(argmax_expr(_cell_scores("embedding", C)).alias("_cell"))
+    plan = cell._jdf.queryExecution().optimizedPlan().toString()
+    # one zip_with (inside one score entry) per centroid, not two
+    assert plan.count("zip_with") == len(C), plan[:2000]
+
+
+def test_ann_shuffle_join_fallback_identical(spark):
+    """broadcast_queries=False (oversized query set) degrades to a shuffle
+    hash join on the bucket/cell key: identical rows, no BroadcastExchange
+    on the query side (VERDICT r03 #4)."""
+    import numpy as np
+
+    from tsfeatures_spark.operators.similarity import ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(160)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.where("vec_id < 10")
+
+    for fn, kw in ((lsh_topk, dict(bits=4, probe_bits=1)),
+                   (ivf_topk, dict(n_cells=4, n_probe=2))):
+        bc = fn(df, q, k=3, **kw).toPandas()
+        sh_df = fn(df, q, k=3, broadcast_queries=False, **kw)
+        plan = sh_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, f"{fn.__name__}: {plan[:1500]}"
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+        sh = sh_df.toPandas()
+        key = ["query_id", "neighbor_id", "rank"]
+        assert sorted(map(tuple, bc[key].values.tolist())) == \
+            sorted(map(tuple, sh[key].values.tolist())), fn.__name__

