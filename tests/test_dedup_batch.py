@@ -120,3 +120,33 @@ def test_ivf_centroids_deterministic_across_partitioning(spark):
     out2 = out2.sort_values(key).reset_index(drop=True)
     assert list(out1["neighbor_id"]) == list(out2["neighbor_id"])
     assert np.allclose(out1["cos_sim"], out2["cos_sim"])
+
+
+def test_rebatch_byte_budget_bounds_long_docs():
+    """_rebatch with a text_col must flush on accumulated text BYTES, and
+    split a single oversized incoming batch (ADVICE r03: per-batch numpy
+    intermediates scale with text bytes, not rows)."""
+    import pandas as pd
+
+    from tsfeatures_spark.operators.dedup import _rebatch
+
+    # one incoming batch of 8 x 100KB docs with a 200KB budget
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(8)],
+        "text": ["x" * 100_000 for _ in range(8)],
+    })
+    out = list(_rebatch(iter([pdf]), target_rows=4096, text_col="text",
+                        target_bytes=200_000))
+    assert len(out) == 4  # 2 docs per flush
+    assert all(b["text"].str.len().sum() <= 200_000 for b in out)
+    # order and content preserved exactly
+    rejoined = pd.concat(out, ignore_index=True)
+    assert rejoined["doc_id"].tolist() == pdf["doc_id"].tolist()
+    # a single mega-doc larger than the budget still flows through (1-row batch)
+    mega = pd.DataFrame({"doc_id": ["m"], "text": ["y" * 500_000]})
+    out2 = list(_rebatch(iter([mega]), 4096, text_col="text", target_bytes=200_000))
+    assert len(out2) == 1 and out2[0]["doc_id"].tolist() == ["m"]
+    # row-count budget still applies to many small docs
+    small = pd.DataFrame({"doc_id": [f"s{i}" for i in range(10)], "text": ["ab"] * 10})
+    out3 = list(_rebatch(iter([small] * 3), 15, text_col="text"))
+    assert [len(b) for b in out3] == [20, 10]

@@ -29,6 +29,25 @@ def test_gapfill_linear_and_locf(spark):
     np.testing.assert_allclose(locf[locf.k == "a"]["mean_filled"].to_numpy(), [1, 1, 3, 3, 3, 9])
 
 
+def test_gapfill_pathological_span_is_bounded(spark):
+    """A key with a multi-year hole must raise a clear error instead of
+    materializing millions of grid rows in one explode (VERDICT r03 #6);
+    keys under the cap are unaffected, and max_span=None opts out."""
+    from tsfeatures_spark.operators.gapfill import gapfill
+
+    pdf = pd.DataFrame({
+        "k": ["ok", "ok", "huge", "huge"],
+        "window_id": [0, 3, 0, 50_000_000],
+        "mean": [1.0, 2.0, 5.0, 6.0],
+    })
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="max_span"):
+        gapfill(df, ["k"], "window_id", ["mean"], max_span=1000).toPandas()
+    ok = gapfill(df.where("k = 'ok'"), ["k"], "window_id", ["mean"],
+                 max_span=1000).toPandas()
+    assert len(ok) == 4
+
+
 def test_split_giant_docs_preserves_windows(spark):
     from tsfeatures_spark.operators.rollup import rollup_doc
     from tsfeatures_spark.operators.skew import DAY, split_giant_docs
@@ -594,3 +613,50 @@ def test_multimodal_real_codecs_roundtrip(spark):
                         F.lit("image/jpeg").alias("media_type"))
     bmeta = decode_media(bogus).toPandas()
     assert (~bmeta.decode_ok).all()
+
+
+def test_decode_media_real_decoder_injection(spark):
+    """VERDICT r03 #8: the ``real_decoder`` injection seam. A fake
+    Pillow/ffmpeg-class decoder for a format the built-ins cannot handle
+    must route through the SAME unified schema / Arrow batching, while
+    rows it delegates keep the built-in behavior; without injection the
+    unknown format comes back decode_ok=false."""
+    import hashlib
+
+    from tsfeatures_spark.operators.multimodal import (
+        _decode_one, decode_media, ppm_encode)
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"JPEGBODY" * 4
+    ppm = ppm_encode(np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3))
+    pdf = pd.DataFrame({
+        "doc_id": ["jpg1", "ppm1"],
+        "media": [fake_jpeg, ppm],
+        "media_type": ["image/jpeg", "image/ppm"],
+    })
+    df = spark.createDataFrame(pdf)
+
+    # without injection: unknown format is a clean decode_ok=false row
+    base = decode_media(df).toPandas().set_index("doc_id")
+    assert not base.loc["jpg1", "decode_ok"]
+    assert base.loc["ppm1", "decode_ok"]
+
+    def fake_decoder(payload: bytes, media_type: str) -> dict:
+        if media_type == "image/jpeg" and payload.startswith(b"\xff\xd8"):
+            meta = dict(_decode_one(b"", media_type))  # unified null template
+            meta.update(
+                n_bytes=len(payload),
+                digest=hashlib.sha256(payload).hexdigest(),
+                width=64, height=48, mean_r=1.0, mean_g=2.0, mean_b=3.0,
+                ahash="f" * 16, decode_ok=True)
+            return meta
+        return _decode_one(payload, media_type)  # delegate to built-ins
+
+    got = decode_media(df, real_decoder=fake_decoder).toPandas().set_index("doc_id")
+    # injected row: decoded through the unified schema
+    assert bool(got.loc["jpg1", "decode_ok"])
+    assert int(got.loc["jpg1", "width"]) == 64
+    assert got.loc["jpg1", "digest"] == hashlib.sha256(fake_jpeg).hexdigest()
+    assert got.loc["jpg1", "sample_rate"] is None or np.isnan(got.loc["jpg1", "sample_rate"])
+    # delegated row: byte-identical to the uninjected built-in decode
+    for c in ("decode_ok", "width", "height", "ahash", "digest", "n_bytes"):
+        assert got.loc["ppm1", c] == base.loc["ppm1", c], c

@@ -61,9 +61,25 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _record(sdf, odf, problems) -> dict:
+    """Driver-format row: rows/schema/hash match booleans per problem class."""
+    return {
+        "rows_match": not any(p.startswith("row count") for p in problems),
+        "schema_match": not any(p.startswith(("columns", "dtype")) for p in problems),
+        "hash_match": not problems,
+        "spark_rows": int(len(sdf)),
+        "oracle_rows": int(len(odf)),
+        "err": None,
+    }
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    records: dict[str, dict] = {}
     from tsfeatures_spark.session import get_spark
 
     spark = get_spark("correctness", cpus=8, shuffle_partitions=8)
@@ -82,20 +98,31 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": 0, "oracle_rows": 0,
+                             "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             n_fail += 1
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"ROWS {name}: {len(sdf)} rows in {el:.1f}s (rows-only)")
+            records[name] = {"rows_match": True, "schema_match": True,
+                             "hash_match": None, "spark_rows": int(len(sdf)),
+                             "oracle_rows": None, "err": None}
             n_pass += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {type(e).__name__}: {str(e)[:300]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": int(len(sdf)),
+                             "oracle_rows": 0,
+                             "err": f"oracle: {type(e).__name__}: {str(e)[:200]}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
+        records[name] = _record(sdf, odf, problems)
         if problems:
             print(f"FAIL {name} ({len(sdf)} rows, {el:.1f}s): " + "; ".join(problems))
             n_fail += 1
@@ -103,6 +130,11 @@ def main():
             print(f"PASS {name}: {len(sdf)} rows in {el:.1f}s")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

@@ -197,8 +197,15 @@ SESSION_HISTORY = [
 # reuse): 5.694 / 7.831 s (10.48M / 7.62M tok/s). Round-2 post-GC-fix
 # read 9.45 / 12.74 s; pre-fix 28.9 / 47.0 s. NOTE round 3 also traded
 # feats_default_set throughput (216 -> ~90 series/s) for the deeper
-# CERTIFIED-OPTIMAL Holt/HW grid (tests/test_fit_independent.py) —
-# deliberate, still ~5x round-1 and above the >=55 target.
+# CERTIFIED-OPTIMAL Holt/HW grid (tests/test_fit_independent.py). Round 4
+# recovered it without losing the certificates: production zoom depth is
+# now a kernel parameter (HOLT/HW_DEFAULT_ROUNDS, within 2e-3 of the
+# CERT-depth optimum; certificates run at full depth in tests), and the
+# heterogeneity AR order scan was rewritten from per-order SVD lstsq to
+# prefix-sum normal equations (profiled single-core per 100 series:
+# heterogeneity 7.26 -> 1.89 s — the AR scan was 4.7 of the 7.26, GARCH
+# only 1.2, so GARCH keeps its fixed two-stage grid; holt 3.78 -> 2.37;
+# hw 4.84 -> 3.39).
 DRIVER_PROTOCOL = {"min_sec": 5.694, "median_sec": 7.831,
                    "min_tps": 10_481_621, "median_tps": 7_620_969}
 

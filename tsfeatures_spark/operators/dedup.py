@@ -89,14 +89,21 @@ def _shingle_hashes_batch(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     acc &= np.uint64(_MERSENNE)
     doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     # valid window-start positions: those whose whole window stays inside
-    # one doc. doc_of is non-decreasing, so per-doc sorted-unique hashes
-    # come from ONE global (doc, hash) lexsort + run dedup — no per-doc
-    # np.unique loop (the short-doc hot-path cost).
-    doc_of = np.repeat(np.arange(n_docs), lens)[:n_total]
-    pos_in_doc = np.arange(n_total) - doc_starts[doc_of]
-    valid = pos_in_doc <= lens[doc_of] - shingle
+    # one doc. Rather than materializing per-byte doc_of/pos_in_doc int64
+    # arrays (~16 bytes of intermediate per input text byte — an OOM
+    # hazard on 100KB+ docs, ADVICE r03), the invalid positions are
+    # exactly the (shingle-1)-byte zones straddling each interior doc
+    # boundary: O(n_docs * shingle) indices, not O(total_bytes) arrays.
+    valid = np.ones(n_total, dtype=bool)
+    if n_docs > 1 and shingle > 1:
+        zone = (doc_starts[1:, None]
+                + np.arange(-shingle + 1, 0, dtype=np.int64)[None, :]).ravel()
+        zone = zone[(zone >= 0) & (zone < n_total)]
+        valid[zone] = False
     vh = acc[valid]
-    vd = doc_of[valid]
+    # every doc is padded to >= shingle bytes, so doc d owns exactly
+    # lens[d]-shingle+1 valid windows, in position order (doc-major)
+    vd = np.repeat(np.arange(n_docs, dtype=np.int32), lens - shingle + 1)
     order = np.lexsort((vh, vd))
     vh = vh[order]
     vd = vd[order]
@@ -110,21 +117,51 @@ def _shingle_hashes_batch(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     return hashes, starts
 
 
-def _rebatch(batches, target_rows: int):
+def _rebatch(batches, target_rows: int, text_col: str | None = None,
+             target_bytes: int = 32 << 20):
     """Coalesce Arrow batches to ~target_rows before the kernel: the
     session default (512-row batches, tuned for the rollup scan's JVM
     allocation profile) is too fine for text kernels whose per-batch
     setup cost amortizes over rows. Per-operator batch sizing without
-    touching session conf."""
-    buf, n = [], 0
-    for pdf in batches:
-        buf.append(pdf)
-        n += len(pdf)
-        if n >= target_rows:
-            yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            buf, n = [], 0
+    touching session conf.
+
+    When ``text_col`` is given, the coalescing is ALSO bounded by
+    accumulated text bytes (ADVICE r03): the shingle kernel's transient
+    numpy intermediates are a small multiple of the batch's total text
+    size, so a row-count-only budget balloons on long documents (4096 x
+    100KB web docs = 400MB text per batch). Oversized *incoming* batches
+    are split on cumulative bytes too — a single 512-row Arrow batch of
+    1MB docs must not reach the kernel whole."""
+    buf, rows, byt = [], 0, 0
+
+    def _pieces(pdf):
+        if text_col is None:
+            yield pdf, 0
+            return
+        sizes = pdf[text_col].str.len().fillna(0).to_numpy(np.int64)
+        cs = sizes.cumsum()
+        total = int(cs[-1]) if len(cs) else 0
+        if total <= target_bytes or len(pdf) == 1:
+            yield pdf, total
+            return
+        start = 0
+        while start < len(pdf):
+            base = int(cs[start - 1]) if start else 0
+            end = int(np.searchsorted(cs, base + target_bytes, side="right"))
+            end = min(max(end, start + 1), len(pdf))
+            yield pdf.iloc[start:end], int(cs[end - 1]) - base
+            start = end
+
+    for incoming in batches:
+        for piece, pb in _pieces(incoming):
+            buf.append(piece)
+            rows += len(piece)
+            byt += pb
+            if rows >= target_rows or (text_col is not None and byt >= target_bytes):
+                yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0].reset_index(drop=True)
+                buf, rows, byt = [], 0, 0
     if buf:
-        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0].reset_index(drop=True)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -145,7 +182,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _rebatch(batches, batch_rows):
+        for pdf in _rebatch(batches, batch_rows, text_col=text_col):
             hashes, starts = _shingle_hashes_batch(pdf[text_col], shingle)
             n_docs = len(starts)
             mins = np.empty((num_hashes, n_docs), dtype=np.uint64)
@@ -214,7 +251,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in _rebatch(batches, batch_rows):
+        for pdf in _rebatch(batches, batch_rows, text_col=text_col):
             hashes, starts = _shingle_hashes_batch(pdf[text_col], shingle)
             n_docs = len(starts)
             votes = np.empty((n_docs, 64), dtype=np.int64)

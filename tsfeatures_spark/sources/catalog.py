@@ -22,6 +22,7 @@ import glob
 import json
 import os
 import uuid
+from typing import Protocol, runtime_checkable
 
 
 class IcebergLiteCatalog:
@@ -129,3 +130,57 @@ class IcebergLiteCatalog:
             # allowMissingColumns: additive schema evolution across commits
             df = part if df is None else df.unionByName(part, allowMissingColumns=True)
         return df
+
+
+# ---------------------------------------------------------------------------
+# Catalog seam: the drop-in surface a real Iceberg catalog implements
+# ---------------------------------------------------------------------------
+
+@runtime_checkable
+class CatalogProtocol(Protocol):
+    """The EXACT surface the engine consumes (ResumableRollupJob,
+    streaming.incremental, bootstrap_tokens). A real Iceberg deployment
+    implements this over DSv2 (`df.writeTo(tbl).append()` in ``commit``,
+    `spark.read.option("snapshot-id", ...)` in ``read``, the snapshots
+    metadata table in ``history``) — nothing in the engine touches the
+    lite catalog's on-disk layout, only these five methods (pinned by
+    tests/test_resume.py::test_catalog_seam_swaps_via_config)."""
+
+    def commit(self, spark, table: str, df, mode: str = "append",
+               partition_by: list[str] | None = None,
+               meta: dict | None = None) -> int: ...
+
+    def read(self, spark, table: str, snapshot_id: int | None = None): ...
+
+    def snapshot(self, table: str, snapshot_id: int | None = None) -> dict: ...
+
+    def history(self, table: str) -> list[dict]: ...
+
+    def current_snapshot_id(self, table: str) -> int | None: ...
+
+
+_CATALOG_IMPLS: dict[str, type] = {"iceberg-lite": IcebergLiteCatalog}
+
+
+def register_catalog_impl(name: str, cls: type) -> None:
+    """Register an alternative CatalogProtocol implementation (e.g. a real
+    Iceberg DSv2 wrapper once its jar is on the classpath)."""
+    _CATALOG_IMPLS[name] = cls
+
+
+def catalog_from_conf(spark, warehouse: str):
+    """Config-driven catalog construction: the swap point the docstring at
+    the top of this module promises. ``spark.tsfeatures_spark.catalog.impl``
+    selects the implementation (default iceberg-lite); a deployment with
+    the Iceberg runtime registers its wrapper under e.g. 'iceberg' and
+    flips one conf — no engine code changes."""
+    try:
+        name = spark.conf.get("spark.tsfeatures_spark.catalog.impl")
+    except Exception:
+        name = None
+    name = name or "iceberg-lite"
+    if name not in _CATALOG_IMPLS:
+        raise ValueError(
+            f"unknown catalog impl {name!r}; registered: {sorted(_CATALOG_IMPLS)}"
+        )
+    return _CATALOG_IMPLS[name](warehouse)
