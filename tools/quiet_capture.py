@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import (  # noqa: E402
-    PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize,
+    KERNEL_REV, PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize,
     capacity_probe, run_once, write_report,
 )
 
@@ -85,7 +85,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
              first_probe: float | None = None) -> dict:
     arms = PROTOCOLS[proto]["arms"]
     probe_cores = arms[1][1]
-    pair = {}
+    pair = {"rev": KERNEL_REV}
     open(TRIAL_FLAG, "w").close()
     try:
         for i, (role, (label, cpus, master)) in enumerate(

@@ -49,6 +49,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 QUIET_FRAC = float(os.environ.get("SPARK_GRAFT_QUIET_FRAC", "0.93"))
 
+# Compute-kernel revision tag: pairs are only comparable when BOTH arms ran
+# the same cascade kernel. Round 4 made the kernel ~1.8x faster single-core
+# (batched XOR blocks, in-place flat-spots codes, lean partial rows), so
+# pairs accumulated under the old kernel are EXCLUDED from min-wall /
+# quiet-pair aggregation (mixing revisions could pair an old slow small arm
+# with a new fast big arm and fake a high efficiency). Old pairs stay on
+# disk; bump this tag whenever the scaled code path changes materially.
+KERNEL_REV = "r4-fastcascade"
+
 # Each protocol: two arms (small, big), 4x the cores between them.
 # arm = (label, pinned cores, SPARK_GRAFT_MASTER or None)
 PROTOCOLS: dict[str, dict] = {
@@ -146,13 +155,20 @@ def _load_prior(proto: str, n_docs: int) -> dict:
         out = _empty()
         for m in out:
             for p in prior["results"].get(m, []):
+                # ALL pairs are kept (stale-rev ones still inform pmax — the
+                # capacity probe measures the HOST, not our kernel — and stay
+                # in the trial table); only same-rev pairs enter efficiency /
+                # min-wall aggregation (_summarize). Untagged = pre-r4 legacy.
+                rev = p.get("rev", "legacy")
                 # round-2 local2 files keyed pairs by cpu count ("2"/"8");
                 # new files key by arm role
                 if "small" in p:
-                    out[m].append({"small": p["small"], "big": p["big"]})
+                    out[m].append({"small": p["small"], "big": p["big"],
+                                   "rev": rev})
                 else:
-                    ks = sorted(int(k) for k in p)
-                    out[m].append({"small": p[str(ks[0])], "big": p[str(ks[1])]})
+                    ks = sorted(int(k) for k in p if k != "rev")
+                    out[m].append({"small": p[str(ks[0])], "big": p[str(ks[1])],
+                                   "rev": rev})
         return out
     except Exception:
         return _empty()
@@ -210,13 +226,23 @@ DRIVER_PROTOCOL = {"min_sec": 5.694, "median_sec": 7.831,
                    "min_tps": 10_481_621, "median_tps": 7_620_969}
 
 
-def _summarize(results: dict) -> dict:
-    """Per mode: best arm walls, min-wall efficiency, best quiet pair."""
-    pmax = max((d["probe"] for m in results for p in results[m] for d in p.values()),
+def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
+    """Per mode: best arm walls, min-wall efficiency, best quiet pair.
+
+    pmax (the session-best host-capacity probe, the quiet bar) is computed
+    over EVERY pair on disk regardless of kernel revision — the probe is a
+    pinned busy-loop that measures host steal, independent of engine code —
+    while walls / efficiencies aggregate only current-KERNEL_REV pairs
+    (mixing revisions could pair an old slow small arm with a new fast big
+    arm and fake a high efficiency). Pass rev="legacy" to summarize the
+    pre-r4 pairs instead (report shows both, labeled)."""
+    pmax = max((p[role]["probe"] for m in results for p in results[m]
+                for role in ("small", "big")),
                default=0.0)
     summary = {"pmax": pmax, "modes": {}}
     for m in ("none", "parquet"):
-        pairs = results[m]
+        pairs = [p for p in results[m]
+                 if p.get("rev", KERNEL_REV) == rev]
         if not pairs:
             summary["modes"][m] = None
             continue
@@ -260,11 +286,12 @@ def write_report(n_docs: int, all_results: dict[str, dict]) -> None:
         rows = []
         for m in ("none", "parquet"):
             for i, p in enumerate(res[m]):
+                rev = p.get("rev", "legacy")
                 for role, (label, _, _m2) in zip(("small", "big"), arms):
                     d = p[role]
                     quiet = "yes" if d["probe"] >= QUIET_FRAC * s["pmax"] else "no"
                     rows.append(f"| {m} | {i} | {label} | {d['sec']} | {d['tps']:,} "
-                                f"| {d['probe']/1e3:.0f}k | {quiet} |")
+                                f"| {d['probe']/1e3:.0f}k | {quiet} | {rev} |")
         mode_lines = []
         for m, title in (("none", "Compute phase (sink=none)"),
                          ("parquet", "End-to-end (parquet-zstd sink)")):
@@ -289,22 +316,28 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
 {os.linesep.join(mode_lines)}
 <details><summary>All trials (interleaved, probe-scored)</summary>
 
-| phase | pair | arm | wall sec | tokens/sec | probe | quiet |
-|---|---|---|---|---|---|---|
+| phase | pair | arm | wall sec | tokens/sec | probe | quiet | kernel rev |
+|---|---|---|---|---|---|---|---|
 {os.linesep.join(rows)}
 
 </details>
 """)
 
-    # summary matrix across protocols
-    matrix = ["| protocol | phase | eff (min-wall) | eff (best quiet pair) | quiet pairs |",
-              "|---|---|---|---|---|"]
-    for proto, s in summaries.items():
-        for m, ph in (("none", "compute"), ("parquet", "e2e")):
-            sm = s["modes"][m]
-            if sm:
-                matrix.append(f"| {proto} | {ph} | {sm['eff_min']:.3f} "
-                              f"| {_fmt_eff(sm['eff_quiet'])} | {sm['n_quiet']}/{sm['n_pairs']} |")
+    # summary matrix across protocols — current kernel revision first, then
+    # the pre-r4-kernel rows (same engine architecture, pre round-4 cascade
+    # kernel micro-optimizations; arms within a pair always ran the SAME
+    # kernel, so their ratios are valid evidence and are kept on record)
+    matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | quiet pairs |",
+              "|---|---|---|---|---|---|"]
+    for rev, tag in ((KERNEL_REV, KERNEL_REV), ("legacy", "pre-r4 (r2/r3)")):
+        for proto, res in all_results.items():
+            s = _summarize(res, rev=rev)
+            for m, ph in (("none", "compute"), ("parquet", "e2e")):
+                sm = s["modes"][m]
+                if sm:
+                    matrix.append(
+                        f"| {proto} | {tag} | {ph} | {sm['eff_min']:.3f} "
+                        f"| {_fmt_eff(sm['eff_quiet'])} | {sm['n_quiet']}/{sm['n_pairs']} |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -439,7 +472,7 @@ def main() -> None:
         probe_cores = arms[1][1]
         for mode in modes:
             for t in range(trials):
-                pair = {}
+                pair = {"rev": KERNEL_REV}
                 for role, (label, cpus, master) in zip(("small", "big"), arms):
                     probe = capacity_probe(probe_cores)
                     r = run_once(cpus, n_docs, mode, master)

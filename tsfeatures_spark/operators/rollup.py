@@ -35,7 +35,8 @@ from typing import Iterator, List
 import numpy as np
 import pandas as pd
 
-from ..compression import xor_encode
+from ..compression import xor_encode  # noqa: F401 (re-export for tests)
+from ..compression.gorilla import xor_encode_windows
 from ..compression.delta import dod_encode_windows
 from ..kernels import compute_features
 
@@ -107,8 +108,12 @@ def window_features_matrix(X: np.ndarray) -> dict:
         hi_e = np.where(rngv == 0, hi + adj_eq, hi)
         edges = lo_e[:, None] + (hi_e - lo_e)[:, None] * (np.arange(11) / 10.0)
         edges[:, 0] -= (hi_e - lo_e) * 0.001  # left edge pushed out (right-closed bins)
-        codes = (X[:, :, None] > edges[:, None, :]).sum(axis=2) - 1
-        codes = np.clip(codes, 0, 9)
+        # accumulate the 11 edge comparisons in-place (identical values to
+        # the (nw, W, 11) broadcast + sum, but no 3D temp — measured 4x)
+        acc_codes = np.zeros((nw, W), dtype=np.int8)
+        for k in range(11):
+            acc_codes += X > edges[:, k][:, None]
+        codes = np.clip(acc_codes - 1, 0, 9)
         # max run length per row, vectorized: change positions on the
         # flattened code matrix (row boundaries forced to change), runs =
         # diff of change positions, per-row max via maximum.reduceat
@@ -149,8 +154,9 @@ def _partial_window_row(xw: np.ndarray) -> dict:
     """Trailing partial window: per-window kernel path (length guards differ
     per feature — same kernels as the reference-parity suite, minus the
     statistics kernel's six quantiles we don't emit)."""
+    from ..kernels import stats as st
     from ..kernels.features import (
-        acf_features, crossing_points, entropy, flat_spots, lumpiness, stability,
+        crossing_points, entropy, flat_spots, lumpiness, stability,
     )
 
     n = len(xw)
@@ -158,7 +164,14 @@ def _partial_window_row(xw: np.ndarray) -> dict:
         m = float(np.mean(xw)) if n else float("nan")
         m2 = float(((xw - m) ** 2).sum()) if n else float("nan")
         var = m2 / (n - 1) if n > 1 else float("nan")
-        acf = acf_features(xw, 1)
+        # x_acf1/x_acf10 via the SAME acf helper acf_features uses, without
+        # acf_features' diff1/diff2 passes (unused here — ~2/3 of its cost)
+        acf = {"x_acf1": np.nan, "x_acf10": np.nan}
+        if n > 1 and np.isfinite(m2) and m2 > 0:
+            r = st.acf_biased(xw, 10)
+            acf["x_acf1"] = float(r[1]) if len(r) > 1 else np.nan
+            if n > 10:
+                acf["x_acf10"] = float(np.sum(r[1:11] ** 2))
         return {
             "n": n,
             "total_sum": float(np.sum(xw)),
@@ -222,8 +235,7 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
             child_tier = "1m" if tier == "1h" else "1h"
             cm = child_means[child_tier]
             ratio = W // TIERS[child_tier]
-            for w in range(nw):
-                blocks.append(xor_encode(cm[w * ratio : (w + 1) * ratio]))
+            blocks = xor_encode_windows(cm, ratio)
         digests = [hashlib.sha256(b).hexdigest() for b in blocks]
         assert start_tick % W == 0, "segment start must be window-aligned"
         results[tier] = {
