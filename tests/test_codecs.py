@@ -39,6 +39,33 @@ def test_dod_windows_batched_equals_single():
                 assert np.array_equal(dod_decode(batched[w]), x[w * W : (w + 1) * W].astype(np.int64))
 
 
+def test_xor_windows_batched_equals_single():
+    """xor_encode_windows (the round-4 batched higher-tier block path) must
+    be byte-identical to per-window xor_encode — including zero values
+    (zero-length XOR payload), repeated values (xor == 0), NaN/inf bit
+    patterns, singleton and empty tails."""
+    from tsfeatures_spark.compression.gorilla import xor_encode_windows
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in [0, 1, 2, 23, 24, 25, 60, 61, 1440, 1441]:
+        cases.append(np.round(np.cumsum(rng.normal(size=n)), 2))
+    cases.append(np.zeros(50))
+    cases.append(np.full(50, 3.75))
+    special = np.array([1.0, 1.0, np.nan, np.inf, -np.inf, 0.0, -0.0, 1e308, 5e-324])
+    cases.append(np.tile(special, 7))
+    for x in cases:
+        for W in (24, 60):
+            batched = xor_encode_windows(x, W)
+            nw = (len(x) + W - 1) // W
+            assert len(batched) == nw
+            for w in range(nw):
+                seg = x[w * W : (w + 1) * W]
+                assert batched[w] == xor_encode(seg)
+                np.testing.assert_array_equal(
+                    xor_decode(batched[w]), seg.astype(np.float64))
+
+
 def test_xor_roundtrip_bitexact():
     rng = np.random.default_rng(1)
     for n in [0, 1, 2, 100, 3600]:
