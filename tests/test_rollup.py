@@ -48,6 +48,54 @@ def test_window_features_matrix_matches_kernels():
             _assert_close(feats[col][w], ref[key], f"w{w} {col}")
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 9, 10, 11, 12, 19, 20, 21, 59, 400, 1399, 3599])
+def test_partial_window_row_matches_kernels(n):
+    """The fused partial-row (round 4: one demean pass, one tile reshape,
+    inline pd.cut codes) must equal the per-kernel composition it replaced,
+    bit-for-bit on every field, including constant / zero / two-valued
+    series and every length-guard boundary (acf at n=2/11, x_acf10 at
+    n=10/11, stability at n=19/20/21)."""
+    from tsfeatures_spark.kernels import stats as st
+    from tsfeatures_spark.kernels.features import (
+        crossing_points, entropy, flat_spots, lumpiness, stability,
+    )
+    from tsfeatures_spark.operators.rollup import _partial_window_row
+
+    rng = np.random.default_rng(n)
+    series = [rng.integers(0, 50000, size=n).astype(float),
+              np.zeros(n), np.full(n, 7.0),
+              rng.integers(0, 2, size=n).astype(float)]
+    for xw in series:
+        got = _partial_window_row(xw)
+        with np.errstate(all="ignore"):
+            m = float(np.mean(xw))
+            m2 = float(((xw - m) ** 2).sum())
+            exp = {
+                "n": n, "total_sum": float(np.sum(xw)),
+                "vmin": float(np.min(xw)), "vmax": float(np.max(xw)),
+                "mean": m, "m2": m2 if n > 1 else 0.0,
+                "variance": m2 / (n - 1) if n > 1 else float("nan"),
+                "x_acf1": np.nan, "x_acf10": np.nan,
+                "crossing_points": crossing_points(xw)["crossing_points"],
+                "flat_spots": flat_spots(xw)["flat_spots"],
+                "entropy": entropy(xw)["entropy"],
+                "stability": stability(xw, 1)["stability"],
+                "lumpiness": lumpiness(xw, 1)["lumpiness"],
+            }
+            if n > 1 and np.isfinite(m2) and m2 > 0:
+                r = st.acf_biased(xw, 10)
+                exp["x_acf1"] = float(r[1])
+                if n > 10:
+                    exp["x_acf10"] = float(np.sum(r[1:11] ** 2))
+        assert set(got) == set(exp)
+        for k, v in exp.items():
+            g = got[k]
+            if isinstance(v, float) and np.isnan(v):
+                assert np.isnan(g), f"n={n} {k}: {g} != nan"
+            else:
+                assert g == v, f"n={n} {k}: {g} != {v}"
+
+
 @pytest.mark.parametrize("n", [1, 2, 59, 60, 61, 3600, 3661, 90000])
 def test_rollup_doc_parity_and_blocks(n):
     doc_id, tokens, src = gen_doc(42, 7)

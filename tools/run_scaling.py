@@ -56,7 +56,11 @@ QUIET_FRAC = float(os.environ.get("SPARK_GRAFT_QUIET_FRAC", "0.93"))
 # quiet-pair aggregation (mixing revisions could pair an old slow small arm
 # with a new fast big arm and fake a high efficiency). Old pairs stay on
 # disk; bump this tag whenever the scaled code path changes materially.
-KERNEL_REV = "r4-fastcascade"
+# r4-fastcascade: batched XOR blocks, in-place flat-spots codes, lean
+#   partial-row ACF (two noisy cluster2 pairs captured under it)
+# r4b-fusedpartial: + fused single-pass partial-window rows (shared demean,
+#   unrolled tile variances, inline decile edges)
+KERNEL_REV = "r4b-fusedpartial"
 
 # Each protocol: two arms (small, big), 4x the cores between them.
 # arm = (label, pinned cores, SPARK_GRAFT_MASTER or None)
@@ -234,15 +238,15 @@ def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
     pinned busy-loop that measures host steal, independent of engine code —
     while walls / efficiencies aggregate only current-KERNEL_REV pairs
     (mixing revisions could pair an old slow small arm with a new fast big
-    arm and fake a high efficiency). Pass rev="legacy" to summarize the
-    pre-r4 pairs instead (report shows both, labeled)."""
+    arm and fake a high efficiency). Pass rev=None to summarize every
+    NON-current pair instead (report shows both, labeled)."""
     pmax = max((p[role]["probe"] for m in results for p in results[m]
                 for role in ("small", "big")),
                default=0.0)
     summary = {"pmax": pmax, "modes": {}}
     for m in ("none", "parquet"):
         pairs = [p for p in results[m]
-                 if p.get("rev", KERNEL_REV) == rev]
+                 if (p.get("rev", KERNEL_REV) != KERNEL_REV) == (rev is None)]
         if not pairs:
             summary["modes"][m] = None
             continue
@@ -329,7 +333,7 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
     # kernel, so their ratios are valid evidence and are kept on record)
     matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | quiet pairs |",
               "|---|---|---|---|---|---|"]
-    for rev, tag in ((KERNEL_REV, KERNEL_REV), ("legacy", "pre-r4 (r2/r3)")):
+    for rev, tag in ((KERNEL_REV, KERNEL_REV), (None, "prior kernels")):
         for proto, res in all_results.items():
             s = _summarize(res, rev=rev)
             for m, ph in (("none", "compute"), ("parquet", "e2e")):

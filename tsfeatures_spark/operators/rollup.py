@@ -39,6 +39,7 @@ from ..compression import xor_encode  # noqa: F401 (re-export for tests)
 from ..compression.gorilla import xor_encode_windows
 from ..compression.delta import dod_encode_windows
 from ..kernels import compute_features
+from ..kernels import stats as _st
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
 TIER_ORDER = ["1m", "1h", "1d"]
@@ -151,42 +152,111 @@ def window_features_matrix(X: np.ndarray) -> dict:
 
 
 def _partial_window_row(xw: np.ndarray) -> dict:
-    """Trailing partial window: per-window kernel path (length guards differ
-    per feature — same kernels as the reference-parity suite, minus the
-    statistics kernel's six quantiles we don't emit)."""
-    from ..kernels import stats as st
-    from ..kernels.features import (
-        crossing_points, entropy, flat_spots, lumpiness, stability,
-    )
-
+    """Trailing partial window (n >= 1, finite values — token arrays cast
+    to float), fused: ONE demean pass shared by variance / ACF / spectral
+    entropy, ONE tile reshape shared by stability / lumpiness, pd.cut
+    decile codes inline. Value-identical to the per-kernel path
+    (crossing_points / flat_spots / entropy / stability / lumpiness +
+    acf_biased — formulas mirrored term for term; pinned by
+    test_partial_window_row_matches_kernels and
+    test_rollup_doc_parity_and_blocks). The per-kernel version re-scanned
+    the window ~5x and its numpy dispatch overhead dominated the cascade's
+    partial-row cost at 1m-tail sizes (~0.35 ms/call -> fused ~0.1)."""
     n = len(xw)
     with np.errstate(all="ignore"):
-        m = float(np.mean(xw)) if n else float("nan")
-        m2 = float(((xw - m) ** 2).sum()) if n else float("nan")
+        m = float(np.mean(xw))
+        xd = xw - m
+        m2 = float((xd * xd).sum())
         var = m2 / (n - 1) if n > 1 else float("nan")
-        # x_acf1/x_acf10 via the SAME acf helper acf_features uses, without
-        # acf_features' diff1/diff2 passes (unused here — ~2/3 of its cost)
-        acf = {"x_acf1": np.nan, "x_acf10": np.nan}
+        # --- ACF lags 1..10 (acf_biased parity: denom = dot(xd, xd))
+        x_acf1 = x_acf10 = float("nan")
         if n > 1 and np.isfinite(m2) and m2 > 0:
-            r = st.acf_biased(xw, 10)
-            acf["x_acf1"] = float(r[1]) if len(r) > 1 else np.nan
-            if n > 10:
-                acf["x_acf10"] = float(np.sum(r[1:11] ** 2))
+            denom = float(np.dot(xd, xd))
+            if denom != 0 and np.isfinite(denom):
+                x_acf1 = float(np.dot(xd[:-1], xd[1:])) / denom
+                if n > 10:
+                    r = np.empty(10)
+                    r[0] = x_acf1
+                    for k in range(2, 11):
+                        r[k - 1] = float(np.dot(xd[:-k], xd[k:])) / denom
+                    x_acf10 = float(np.sum(r ** 2))
+        # --- crossing_points (median crossings)
+        med = np.median(xw)
+        ab = xw <= med
+        cross = float((ab[:-1] ^ ab[1:]).sum())
+        # --- flat_spots (_pdcut_codes parity: linspace decile edges,
+        # left edge pushed out, right-closed searchsorted, longest run)
+        vmin = float(xw.min())
+        vmax = float(xw.max())
+        if vmin == vmax:
+            adj = 0.001 if vmin == 0 else abs(vmin) * 0.001
+            lo, hi = vmin - adj, vmax + adj
+        else:
+            lo, hi = vmin, vmax
+        # np.linspace(lo, hi, 11) replicated without its dispatch overhead:
+        # y = arange*step + lo with the endpoint pinned to hi (linspace does
+        # exactly this for num>1; bit-identical, pinned by the parity test)
+        edges = np.arange(11.0)
+        edges *= (hi - lo) / 10.0
+        edges += lo
+        edges[10] = hi
+        edges[0] -= (hi - lo) * 0.001
+        codes = np.clip(np.searchsorted(edges, xw, side="left") - 1, 0, 9)
+        fs = float(_st.run_lengths(codes).max())
+        # --- spectral entropy (periodogram_psd parity, reusing xd)
+        spec = np.abs(np.fft.rfft(xd)) ** 2 / n
+        if n % 2 == 0:
+            spec[1:-1] *= 2.0
+        else:
+            spec[1:] *= 2.0
+        total = spec.sum()
+        if not np.isfinite(total) or total <= 0:
+            ent = float("nan")
+        else:
+            p = spec / total
+            nz = p[p > 0]
+            ent = float(-(nz * np.log2(nz)).sum()) / float(np.log2(p.shape[0]))
+        # --- stability / lumpiness (_tiled_stat parity: width 10, trailing
+        # partial tile dropped, 0.0 when n < 2*width, outer var ddof=1)
+        if n < 20:
+            stab = lump = 0.0
+        else:
+            # np.var(ddof=1) unrolled (mean -> demean -> square -> sum/(n-1),
+            # the exact op sequence numpy's _var runs on real floats) — the
+            # three nested .var/.mean dispatches were ~40% of this function
+            # at 1m-tail sizes; bit-identical, pinned by the parity test
+            nseg = n // 10
+            tiles = xw[: nseg * 10].reshape(nseg, 10)
+            tmean = np.add.reduce(tiles, axis=1)
+            tmean /= 10.0
+            td = tiles - tmean[:, None]
+            td *= td
+            tvar = np.add.reduce(td, axis=1)
+            tvar /= 9.0
+
+            def _var1(a: np.ndarray) -> float:
+                am = np.add.reduce(a) / nseg
+                ad = a - am
+                ad *= ad
+                return float(np.add.reduce(ad) / (nseg - 1))
+
+            stab = _var1(tmean)
+            lump = _var1(tvar)
         return {
             "n": n,
             "total_sum": float(np.sum(xw)),
-            "vmin": float(np.min(xw)) if n else float("nan"),
-            "vmax": float(np.max(xw)) if n else float("nan"),
+            "vmin": vmin,
+            "vmax": vmax,
             "mean": m,
             "m2": m2 if n > 1 else 0.0,
             "variance": var,
-            "x_acf1": acf["x_acf1"],
-            "x_acf10": acf["x_acf10"],
-            "crossing_points": crossing_points(xw)["crossing_points"] if n else float("nan"),
-            "flat_spots": flat_spots(xw)["flat_spots"] if n else float("nan"),
-            "entropy": entropy(xw)["entropy"],
-            "stability": stability(xw, 1)["stability"],
-            "lumpiness": lumpiness(xw, 1)["lumpiness"],
+            "x_acf1": x_acf1,
+            "x_acf10": x_acf10,
+            "crossing_points": cross,
+            "flat_spots": fs,
+            "entropy": ent,
+            "stability": stab,
+            "lumpiness": lump,
         }
 
 
