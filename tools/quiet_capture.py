@@ -42,10 +42,16 @@ TARGET_QUIET = 2
 FORCE_EVERY = 12          # ungated pair every N idle cycles (min-wall accum)
 SLEEP_SEC = 110
 
+# cluster2 (the honest per-executor-JVM analog) first per VERDICT r03 #3,
+# but local2 — the one protocol whose arms both fit the deliverable-core
+# regime and that historically clears the 0.8 bar — second: after the
+# round-4 kernel-rev bump every protocol restarts at zero current-rev
+# pairs, and a round ending with no current-kernel local2 evidence would
+# lose the strongest number we have.
 PRIORITY = [
-    ("cluster2", "none"), ("cluster2", "parquet"),
+    ("cluster2", "none"), ("local2", "none"),
+    ("cluster2", "parquet"), ("local2", "parquet"),
     ("local8", "none"), ("local8", "parquet"),
-    ("local2", "parquet"), ("local2", "none"),
 ]
 
 
@@ -111,6 +117,7 @@ def main() -> None:
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     deadline = time.time() + max_hours * 3600
     cycles_since_fire = 0
+    main.force_idx = 0
     _log(f"quiet-capture loop: {max_hours}h budget, quiet_frac={QUIET_FRAC}")
     while time.time() < deadline:
         if os.path.exists(DEV_FLAG):
@@ -146,7 +153,10 @@ def main() -> None:
             continue
         cycles_since_fire += 1
         if cycles_since_fire >= FORCE_EVERY:
-            proto, mode = todo[0]
+            # rotate forced (ungated) pairs across the deficient combos so
+            # min-wall accumulates for every protocol, not just the top one
+            proto, mode = todo[main.force_idx % len(todo)]
+            main.force_idx += 1
             _log(f"forcing ungated pair for {proto}/{mode} "
                  f"(min-wall accumulation)")
             run_pair(proto, mode, n_docs)
