@@ -1,0 +1,117 @@
+"""Cross-series batched Holt / Holt-Winters fits: exact equality with the
+per-series kernels.
+
+The batch path exists purely for dispatch amortization (~3x per series at
+bench lengths); every time-axis op is elementwise in the (series,
+candidate) plane, so results must be IDENTICAL — not close — to
+holt_parameters / hw_parameters, including NaN positions from guards,
+constant/degenerate series, and candidate argmin tie-breaks. Any bit of
+drift here is a bug, so the assertions use exact equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tsfeatures_spark.kernels.features import (
+    HOLT_CERT_ROUNDS,
+    HW_CERT_ROUNDS,
+    holt_parameters,
+    hw_parameters,
+)
+from tsfeatures_spark.kernels.fit_batch import holt_fit_batch, hw_fit_batch
+from tsfeatures_spark.kernels.stats import scalets
+
+
+def _mixed_series(seed: int, n_series: int = 40):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_series):
+        n = int(rng.integers(2, 400))
+        kind = i % 5
+        if kind == 0:
+            y = np.cumsum(rng.normal(size=n)) + 100
+        elif kind == 1:
+            y = rng.integers(0, 50000, size=n).astype(float)
+        elif kind == 2:
+            y = np.full(n, 7.0)               # constant
+        elif kind == 3:
+            y = scalets(np.full(n, 3.0))      # all-NaN after scaling
+        else:
+            t = np.arange(n)
+            y = 10 * np.sin(2 * np.pi * t / 24) + t * 0.3 + rng.normal(size=n)
+        out.append(y)
+    # guard boundaries for holt (n<4) and hw (n<2m+2)
+    out += [np.arange(k, dtype=float) for k in (0, 1, 2, 3, 4, 5, 25, 49, 50, 51)]
+    return out
+
+
+def _eq(a: float, b: float) -> bool:
+    return (np.isnan(a) and np.isnan(b)) or a == b
+
+
+@pytest.mark.parametrize("rounds", [None, HOLT_CERT_ROUNDS])
+def test_holt_batch_equals_scalar(rounds):
+    ys = _mixed_series(1)
+    kw = {} if rounds is None else {"rounds": rounds}
+    got = holt_fit_batch(ys, group=7, **kw)   # small group: boundaries + remainder
+    for i, y in enumerate(ys):
+        exp = holt_parameters(y, 1, **kw)
+        assert _eq(got[i, 0], exp["alpha"]), f"series {i} alpha {got[i,0]} != {exp['alpha']}"
+        assert _eq(got[i, 1], exp["beta"]), f"series {i} beta {got[i,1]} != {exp['beta']}"
+
+
+@pytest.mark.parametrize("m,rounds", [(24, None), (12, None), (7, None),
+                                      (24, HW_CERT_ROUNDS)])
+def test_hw_batch_equals_scalar(m, rounds):
+    ys = _mixed_series(2)
+    kw = {} if rounds is None else {"rounds": rounds}
+    got = hw_fit_batch(ys, m, group=7, **kw)
+    for i, y in enumerate(ys):
+        exp = hw_parameters(y, m, **kw)
+        for c, k in enumerate(("hw_alpha", "hw_beta", "hw_gamma")):
+            assert _eq(got[i, c], exp[k]), f"series {i} m={m} {k}: {got[i,c]} != {exp[k]}"
+
+
+def test_registry_fields_collision_free():
+    """The batched-fit merge into the per-series dict is order-independent
+    ONLY because no two kernels share an output field (compute_features is
+    first-wins on duplicates); guard that invariant."""
+    from collections import Counter
+
+    from tsfeatures_spark.kernels.features import FEATURES
+
+    counts = Counter(f for _, fields in FEATURES.values() for f in fields)
+    dups = {k: v for k, v in counts.items() if v > 1}
+    assert not dups, f"duplicate kernel output fields: {dups}"
+
+
+def test_features_wide_batch_fits_identical_to_per_series(spark):
+    """The Spark path with batch_fits=True (default) must emit the exact
+    rows of the per-series path — same doc batching, mixed lengths."""
+    from tsfeatures_spark.operators.features import features_wide
+    from tsfeatures_spark.sources.generator import token_table
+
+    fd = token_table(spark, 60, base_seed=11, mean_len=120, max_len=400)
+    a = (features_wide(fd, scale=True, freq=24, batch_fits=True)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    b = (features_wide(fd, scale=True, freq=24, batch_fits=False)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if c == "doc_id":
+            assert (a[c] == b[c]).all()
+        else:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            assert same.all(), f"column {c} differs: {av[~same][:3]} vs {bv[~same][:3]}"
+
+
+def test_batch_empty_and_single():
+    assert holt_fit_batch([]).shape == (0, 2)
+    assert hw_fit_batch([], 24).shape == (0, 3)
+    y = np.cumsum(np.random.default_rng(3).normal(size=60)) + 5
+    got = holt_fit_batch([y])
+    exp = holt_parameters(y, 1)
+    assert _eq(got[0, 0], exp["alpha"]) and _eq(got[0, 1], exp["beta"])

@@ -30,6 +30,13 @@ def _schema(id_col: str, features: List[str]) -> str:
     return ", ".join([f"{id_col} string"] + [f"`{f}` double" for f in fields])
 
 
+#: Kernels with a cross-series batched implementation (kernels/fit_batch.py):
+#: grid fits whose per-series cost is numpy dispatch, not flops. Registry
+#: fields are collision-free (asserted in tests), so merging their batched
+#: results into the per-series dict is order-independent.
+_BATCHED_FIT_KERNELS = ("holt_parameters", "hw_parameters")
+
+
 def features_wide(
     df,
     features: Optional[List[str]] = None,
@@ -39,30 +46,67 @@ def features_wide(
     seasonality_col: Optional[str] = None,
     freq: int = 1,
     batch_rows: int = 256,
+    batch_fits: bool = True,
 ):
     """Per-series features over a wide table (one row = one series).
 
     Parity: tsfeatures_wide (reference tsfeatures.py:1001-1039); seasonality
     is per-row when ``seasonality_col`` is given, else the ``freq`` literal
     (token series are fixed-interval by construction — SURVEY.md §1.1).
+
+    ``batch_fits``: route the Holt / Holt-Winters grid fits through the
+    cross-series batched kernels (kernels/fit_batch.py) — ~3x on the
+    dispatch-bound fits, value-identical per series (pinned by
+    tests/test_fit_batch.py and the Spark-path equality test). False runs
+    every kernel per series (the reference-shaped path).
     """
     names = features if features is not None else DEFAULT_FEATURES
     fields = output_fields(names)
     schema = _schema(id_col, names)
     sel = [id_col, value_col] + ([seasonality_col] if seasonality_col else [])
+    batched = [n for n in _BATCHED_FIT_KERNELS if batch_fits and n in names]
+    rest = [n for n in names if n not in batched]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings
 
+        from ..kernels import stats as kstats
+        from ..kernels.features import FEATURES
+        if batched:
+            from ..kernels.fit_batch import holt_fit_batch, hw_fit_batch
+
         warnings.filterwarnings("ignore")
         for pdf in batches:
+            n_rows = len(pdf)
+            # one scaling pass, shared by the per-series kernels and the
+            # batched fits (identical to compute_features' scale=True)
+            ys: list[np.ndarray] = []
+            ms: list[int] = []
+            for i in range(n_rows):
+                y = np.asarray(pdf[value_col].iloc[i], dtype=float)
+                if scale:
+                    y = kstats.scalets(y)
+                ys.append(y)
+                ms.append(int(pdf[seasonality_col].iloc[i]) if seasonality_col else int(freq))
+            vals_all = [compute_features(ys[i], ms[i], rest, scale=False)
+                        for i in range(n_rows)]
+            if "holt_parameters" in batched:
+                hp = holt_fit_batch(ys)
+                for i in range(n_rows):
+                    vals_all[i]["alpha"] = float(hp[i, 0])
+                    vals_all[i]["beta"] = float(hp[i, 1])
+            if "hw_parameters" in batched:
+                hw_fields = FEATURES["hw_parameters"][1]
+                for m in sorted(set(ms)):
+                    idx = [i for i in range(n_rows) if ms[i] == m]
+                    hw = hw_fit_batch([ys[i] for i in idx], m)
+                    for r, i in enumerate(idx):
+                        for c, f in enumerate(hw_fields):
+                            vals_all[i][f] = float(hw[r, c])
             out_rows = []
             ids = []
-            for i in range(len(pdf)):
-                y = np.asarray(pdf[value_col].iloc[i], dtype=float)
-                m = int(pdf[seasonality_col].iloc[i]) if seasonality_col else int(freq)
-                vals = compute_features(y, m, names, scale=scale)
-                out_rows.append([vals.get(f, np.nan) for f in fields])
+            for i in range(n_rows):
+                out_rows.append([vals_all[i].get(f, np.nan) for f in fields])
                 ids.append(str(pdf[id_col].iloc[i]))
                 if len(out_rows) >= batch_rows:
                     yield pd.DataFrame([[i_] + r for i_, r in zip(ids, out_rows)], columns=[id_col] + fields)
