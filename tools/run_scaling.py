@@ -220,12 +220,21 @@ SESSION_HISTORY = [
 # CERTIFIED-OPTIMAL Holt/HW grid (tests/test_fit_independent.py). Round 4
 # recovered it without losing the certificates: production zoom depth is
 # now a kernel parameter (HOLT/HW_DEFAULT_ROUNDS, within 2e-3 of the
-# CERT-depth optimum; certificates run at full depth in tests), and the
+# CERT-depth optimum; certificates run at full depth in tests), the
 # heterogeneity AR order scan was rewritten from per-order SVD lstsq to
 # prefix-sum normal equations (profiled single-core per 100 series:
 # heterogeneity 7.26 -> 1.89 s — the AR scan was 4.7 of the 7.26, GARCH
 # only 1.2, so GARCH keeps its fixed two-stage grid; holt 3.78 -> 2.37;
-# hw 4.84 -> 3.39).
+# hw 4.84 -> 3.39), and the Holt/HW fits were additionally batched
+# ACROSS series (kernels/fit_batch.py, bit-identical, ~2.5x on the fit
+# portion). Round-4 builder preview (host ~80% capacity):
+# feats_default_set 2.271 s best with spread [2.271, 2.302, 2.315]
+# (220 series/s — the round-2 speed at the round-3 accuracy),
+# dedup_minhash_lsh 2.399 s (r03: 3.00). The cascade kernel itself is
+# ~2x round 3 single-core: an interleaved same-window A/B during the
+# rewrite measured 0.83M tok/s/core (r3 kernel) -> 1.50M (batched XOR
+# blocks + in-place flat-spot codes + lean partial ACF); the later fused
+# partial rows cut partial-row share 41% -> 33% on top.
 DRIVER_PROTOCOL = {"min_sec": 5.694, "median_sec": 7.831,
                    "min_tps": 10_481_621, "median_tps": 7_620_969}
 
