@@ -74,6 +74,21 @@ def test_hw_batch_equals_scalar(m, rounds):
             assert _eq(got[i, c], exp[k]), f"series {i} m={m} {k}: {got[i,c]} != {exp[k]}"
 
 
+def test_heterogeneity_batch_equals_scalar():
+    """GARCH-stage-batched heterogeneity must equal the scalar kernel
+    exactly: guard boundaries (order_max<1, short resid < 20, zero
+    variance), AR whitening, and the two-stage profile search."""
+    from tsfeatures_spark.kernels.features import heterogeneity
+    from tsfeatures_spark.kernels.fit_batch import heterogeneity_fit_batch
+
+    ys = _mixed_series(5)
+    got = heterogeneity_fit_batch(ys, 24, group=7)
+    for i, y in enumerate(ys):
+        exp = heterogeneity(np.asarray(y, dtype=float), 24)
+        for k in ("arch_acf", "garch_acf", "arch_r2", "garch_r2"):
+            assert _eq(got[i][k], exp[k]), f"series {i} {k}: {got[i][k]} != {exp[k]}"
+
+
 def test_registry_fields_collision_free():
     """The batched-fit merge into the per-series dict is order-independent
     ONLY because no two kernels share an output field (compute_features is

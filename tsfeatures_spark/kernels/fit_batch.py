@@ -37,6 +37,7 @@ from .features import (
     HOLT_DEFAULT_ROUNDS,
     HW_DEFAULT_ROUNDS,
 )
+from . import stats as st
 
 _LO, _HI = 1e-4, 1.0 - 1e-4
 
@@ -116,9 +117,12 @@ def _holt_sse_batch(Y: np.ndarray, lens: np.ndarray,
         v[:2] = P[:2]
         np.subtract(yt, P[2], out=v[2])
         if t >= n_min:
-            # finished series: zero the moment contribution (the state may
-            # keep evolving on the zero padding — it is never read again)
-            v *= (t < lens)[None, :, None]
+            # finished series: zero the moment contribution by assignment,
+            # NOT multiplication — an unstable candidate's state can
+            # overflow to inf on a long padded tail, and inf*0 = NaN would
+            # poison the accumulator; assignment is inert regardless. (The
+            # state may keep evolving on the padding — it is never read.)
+            v[:, t >= lens, :] = 0.0
         np.multiply(v[:, None], v[None, :], out=tmp)
         M += tmp
         Ln = np.multiply(omA, P, out=P)  # P's values are consumed; reuse
@@ -228,7 +232,8 @@ def _hw_sse_batch(Y: np.ndarray, lens: np.ndarray, m: int,
         e = yt - (L + Bt + si)
         e2 = e * e
         if t >= n_min:
-            e2 *= (t < lens)[:, None]
+            # assignment, not multiply: see _holt_sse_batch (inf*0 hazard)
+            e2[t >= lens, :] = 0.0
         sse += e2
         Ln = A * (yt - si) + omA * (L + Bt)
         Bt = B * (Ln - L) + omB * Bt
@@ -317,4 +322,148 @@ def hw_fit_batch(ys: Sequence[np.ndarray], m: int,
     for idx in _length_groups(order, lens, group):
         out[idx] = _hw_group([ys[i] for i in idx], m,
                              [inits[i] for i in idx], rounds)
+    return out
+
+
+def _garch_negll_batch(R: np.ndarray, lens: np.ndarray, mu: np.ndarray,
+                       om: np.ndarray, al: np.ndarray, be: np.ndarray,
+                       h0: np.ndarray) -> np.ndarray:
+    """Batched `_garch_negll_candidates`: the variance recursion per
+    (series, candidate); padded-step terms zeroed by assignment. Shapes:
+    R (S, T), mu/om/al/be (S, G), h0 (S,); returns (S, G)."""
+    S, T = R.shape
+    h = np.broadcast_to(h0[:, None], mu.shape).copy()
+    e = R[:, 0][:, None] - mu
+    ll = np.log(h) + e * e / h
+    prev_e2 = e * e
+    n_min = int(lens.min()) if S else 0
+    for t in range(1, T):
+        h = om + al * prev_e2 + be * h
+        e = R[:, t][:, None] - mu
+        term = np.log(h) + e * e / h
+        if t >= n_min:
+            term[t >= lens, :] = 0.0
+        ll += term
+        prev_e2 = e * e
+    return 0.5 * ll
+
+
+def _garch_group(rs: Sequence[np.ndarray]):
+    """(mu_best, failed) per series for one padded group — the two-stage
+    profile search of `_garch11_resid` vectorized over series. ``failed``
+    marks a series whose stage-2 likelihoods were all-NaN (the scalar
+    path's np.nanargmin raises there and `heterogeneity`'s except turns
+    the WHOLE feature dict NaN — callers must reproduce that)."""
+    S = len(rs)
+    R, lens = _pad_group(rs)
+    mu0 = np.array([float(r.mean()) for r in rs])
+    var = np.array([float(np.var(r - m0)) for r, m0 in zip(rs, mu0)])
+    rows = np.arange(S)
+    with np.errstate(all="ignore"):
+        om_floor = 1e-12 * np.maximum(var, 1.0)
+
+        def _stage_ab(ga: np.ndarray, gb: np.ndarray):
+            A = np.repeat(ga, gb.shape[1], axis=1)
+            B = np.tile(gb, (1, ga.shape[1]))
+            ok = A + B < 0.9999
+            om = np.clip(var[:, None] * (1.0 - A - B), om_floor[:, None], None)
+            mu = np.broadcast_to(mu0[:, None], A.shape)
+            ll = _garch_negll_batch(R, lens, mu, om, A, B, var)
+            ll = np.where(ok & np.isfinite(ll), ll, np.inf)
+            i = np.argmin(ll, axis=1)
+            return ll[rows, i], A[rows, i], B[rows, i]
+
+        ga = np.tile(np.linspace(0.0, 0.5, 11), (S, 1))
+        gb = np.tile(np.linspace(0.0, 0.98, 11), (S, 1))
+        _, a1, b1 = _stage_ab(ga, gb)
+        sa, sb = ga[0, 1] - ga[0, 0], gb[0, 1] - gb[0, 0]
+        _, a2, b2 = _stage_ab(
+            np.clip(np.linspace(a1 - sa, a1 + sa, 7, axis=1), 0.0, 0.9998),
+            np.clip(np.linspace(b1 - sb, b1 + sb, 7, axis=1), 0.0, 0.9998),
+        )
+        se = np.sqrt(var / lens)
+        mus = mu0[:, None] + np.linspace(-3.0, 3.0, 13)[None, :] * se[:, None]
+        om2 = np.maximum(var * (1.0 - a2 - b2), om_floor)
+        ll = _garch_negll_batch(
+            R, lens, mus,
+            np.broadcast_to(om2[:, None], (S, 13)),
+            np.broadcast_to(a2[:, None], (S, 13)),
+            np.broadcast_to(b2[:, None], (S, 13)), var,
+        )
+        allnan = np.all(np.isnan(ll), axis=1)
+        safe = np.where(np.isnan(ll), np.inf, ll)
+        mu_best = mus[rows, np.argmin(safe, axis=1)]
+    return mu_best, allnan
+
+
+_HET_NAN = {"arch_acf": np.nan, "garch_acf": np.nan,
+            "arch_r2": np.nan, "garch_r2": np.nan}
+
+
+def heterogeneity_fit_batch(ys: Sequence[np.ndarray],
+                            freq: int = 1,
+                            group: int = GROUP) -> List[dict]:
+    """`heterogeneity` for every series, GARCH stage batched across
+    series: per-series AR whitening + arch/Ljung-Box composition are the
+    scalar kernel's code paths verbatim; only the three likelihood time
+    loops run batched (elementwise in the (series, candidate) plane, so
+    per-series values are identical). Returns the exact per-series
+    dicts of ``heterogeneity(y, freq)``."""
+    from .features import _ar_order_by_aic, arch_stat
+
+    N = len(ys)
+    out: List[dict] = [dict(_HET_NAN) for _ in range(N)]
+    pre = {}   # i -> (resid, lb, arch_r2) for series entering the GARCH stage
+    for i in range(N):
+        try:
+            y = np.asarray(ys[i], dtype=float)
+            n = len(y)
+            order_max = int(min(n - 1, np.floor(10 * np.log10(n)))) if n else 0
+            if order_max < 1 or n < order_max + 3:
+                continue
+            best_p = _ar_order_by_aic(y, order_max)
+            if best_p is None:
+                continue
+            if best_p == 0:
+                resid = y - y.mean()
+            else:
+                mat = st.embed(y, best_p + 1)
+                _, resid = st.lstsq_const(mat[:, 1:], mat[:, 0])
+            arch_r2 = arch_stat(resid, freq)["arch_lm"]
+            lb = float(np.sum(st.acf_biased(resid**2, 12)[1:] ** 2))
+            # _garch11_resid's own eligibility guards (None -> partial dict)
+            if len(resid) < 20 or float(np.var(resid - resid.mean())) <= 0:
+                out[i] = {"arch_acf": lb, "garch_acf": np.nan,
+                          "arch_r2": arch_r2, "garch_r2": np.nan}
+                continue
+            pre[i] = (resid, lb, arch_r2)
+        except Exception:
+            continue  # scalar path: whole dict NaN
+    order = sorted(pre, key=lambda i: len(pre[i][0]))
+    lens_all = {i: len(pre[i][0]) for i in pre}
+    for idx in _length_groups(order, [lens_all.get(i, 0) for i in range(N)], group):
+        rs = [pre[i][0] for i in idx]
+        try:
+            mu_best, failed = _garch_group(rs)
+        except Exception:
+            # a group-wide failure must not take down unrelated series:
+            # fall back to the scalar kernel for this group only
+            from .features import heterogeneity
+
+            for i in idx:
+                out[i] = heterogeneity(np.asarray(ys[i], dtype=float), freq)
+            continue
+        for r_i, i in enumerate(idx):
+            resid, lb, arch_r2 = pre[i]
+            if failed[r_i]:
+                out[i] = dict(_HET_NAN)  # scalar nanargmin raise -> except
+                continue
+            try:
+                g = resid - mu_best[r_i]
+                garch_r2 = arch_stat(g, freq)["arch_lm"]
+                lb2 = float(np.sum(st.acf_biased(g**2, 12)[1:] ** 2))
+                out[i] = {"arch_acf": lb, "garch_acf": lb2,
+                          "arch_r2": arch_r2, "garch_r2": garch_r2}
+            except Exception:
+                out[i] = dict(_HET_NAN)
     return out

@@ -34,7 +34,7 @@ def _schema(id_col: str, features: List[str]) -> str:
 #: grid fits whose per-series cost is numpy dispatch, not flops. Registry
 #: fields are collision-free (asserted in tests), so merging their batched
 #: results into the per-series dict is order-independent.
-_BATCHED_FIT_KERNELS = ("holt_parameters", "hw_parameters")
+_BATCHED_FIT_KERNELS = ("holt_parameters", "hw_parameters", "heterogeneity")
 
 
 def features_wide(
@@ -73,7 +73,9 @@ def features_wide(
         from ..kernels import stats as kstats
         from ..kernels.features import FEATURES
         if batched:
-            from ..kernels.fit_batch import holt_fit_batch, hw_fit_batch
+            from ..kernels.fit_batch import (
+                heterogeneity_fit_batch, holt_fit_batch, hw_fit_batch,
+            )
 
         warnings.filterwarnings("ignore")
         for pdf in batches:
@@ -103,6 +105,15 @@ def features_wide(
                     for r, i in enumerate(idx):
                         for c, f in enumerate(hw_fields):
                             vals_all[i][f] = float(hw[r, c])
+            if "heterogeneity" in batched:
+                het_fields = FEATURES["heterogeneity"][1]
+                for m in sorted(set(ms)):
+                    idx = [i for i in range(n_rows) if ms[i] == m]
+                    het = heterogeneity_fit_batch([ys[i] for i in idx], m)
+                    for r, i in enumerate(idx):
+                        for f in het_fields:
+                            v = het[r].get(f, np.nan)
+                            vals_all[i][f] = float(v) if v is not None else np.nan
             out_rows = []
             ids = []
             for i in range(n_rows):
