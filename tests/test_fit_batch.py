@@ -89,6 +89,44 @@ def test_heterogeneity_batch_equals_scalar():
             assert _eq(got[i][k], exp[k]), f"series {i} {k}: {got[i][k]} != {exp[k]}"
 
 
+def test_ar_order_scan_matches_svd_reference_on_raw_scale():
+    """The prefix-sum AR order scan must agree with the exact per-order
+    SVD least-squares scan on ILL-CONDITIONED raw-scale input (level ~4e4
+    with trend), not just z-scored series — normal equations square the
+    condition number, and the uncentered variant flipped the chosen order
+    on most such series (review r04). Centering fixed it; pin that."""
+    from tsfeatures_spark.kernels import stats as st
+    from tsfeatures_spark.kernels.features import _ar_order_by_aic
+
+    def svd_order(y, order_max):
+        n = len(y)
+        best_aic, best_p = np.inf, None
+        for p in range(0, order_max + 1):
+            if p == 0:
+                r = y - y.mean()
+                nobs = n
+            else:
+                mat = st.embed(y, p + 1)
+                _, r = st.lstsq_const(mat[:, 1:], mat[:, 0])
+                nobs = len(r)
+            if nobs <= p + 1:
+                continue
+            sigma2 = float(np.dot(r, r)) / nobs
+            if sigma2 <= 0:
+                continue
+            aic = np.log(sigma2) + 2.0 * (p + 1) / nobs
+            if aic < best_aic:
+                best_aic, best_p = aic, p
+        return best_p
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        n = int(rng.integers(60, 400))
+        y = 40000 + rng.uniform(-5, 5) * np.arange(n) + rng.normal(0, 50, n)
+        om = int(min(n - 1, np.floor(10 * np.log10(n))))
+        assert _ar_order_by_aic(y, om) == svd_order(y, om)
+
+
 def test_registry_fields_collision_free():
     """The batched-fit merge into the per-series dict is order-independent
     ONLY because no two kernels share an output field (compute_features is

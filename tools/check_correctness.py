@@ -74,6 +74,11 @@ def _record(sdf, odf, problems) -> dict:
 
 
 def main():
+    bad = [a for a in sys.argv[1:]
+           if a.startswith("--json") and not a.startswith("--json=")]
+    if bad:
+        sys.exit("check_correctness: use --json=PATH (bare --json would "
+                 "silently skip the artifact and eat the next argument)")
     args = [a for a in sys.argv[1:] if not a.startswith("--json")]
     json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--json=")), None)

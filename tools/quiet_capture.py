@@ -88,12 +88,24 @@ def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
 
 
 def run_pair(proto: str, mode: str, n_docs: int,
-             first_probe: float | None = None) -> dict:
+             first_probe: float | None = None) -> dict | None:
+    """Run one (small, big) pair and save it. Returns None WITHOUT saving
+    when a dev command slipped through the coordination race: the cycle-top
+    dev-busy check leaves a window (probe ~1.2s + state read) before
+    TRIAL_FLAG exists during which devrun.sh can pass its trial-flag wait
+    and start a heavy command — a pair recorded then would carry a
+    pre-pollution 'quiet' probe as evidence. One DEV_FLAG re-check right
+    AFTER creating TRIAL_FLAG closes it: any devrun arriving later blocks
+    on the trial flag (harmless), so mid-pair checks are not needed."""
     arms = PROTOCOLS[proto]["arms"]
     probe_cores = arms[1][1]
     pair = {"rev": KERNEL_REV}
     open(TRIAL_FLAG, "w").close()
     try:
+        if os.path.exists(DEV_FLAG):
+            _log(f"  {proto}/{mode}: dev work slipped in before the trial "
+                 f"flag; aborting pair unsaved")
+            return None
         for i, (role, (label, cpus, master)) in enumerate(
                 zip(("small", "big"), arms)):
             probe = first_probe if (i == 0 and first_probe is not None) \

@@ -247,15 +247,19 @@ def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
     pinned busy-loop that measures host steal, independent of engine code —
     while walls / efficiencies aggregate only current-KERNEL_REV pairs
     (mixing revisions could pair an old slow small arm with a new fast big
-    arm and fake a high efficiency). Pass rev=None to summarize every
-    NON-current pair instead (report shows both, labeled)."""
+    arm and fake a high efficiency). ``rev`` selects ONE revision bucket —
+    never a lumped "everything else": min-wall arms pair across pairs, so
+    even a stale-only bucket must be single-revision or the same
+    slow-small/fast-big artifact reappears among the stale rows."""
     pmax = max((p[role]["probe"] for m in results for p in results[m]
                 for role in ("small", "big")),
                default=0.0)
     summary = {"pmax": pmax, "modes": {}}
     for m in ("none", "parquet"):
-        pairs = [p for p in results[m]
-                 if (p.get("rev", KERNEL_REV) != KERNEL_REV) == (rev is None)]
+        # untagged pairs are ALWAYS legacy (pre-tagging): defaulting them
+        # to the current rev would count stale-kernel walls in current
+        # aggregation — the exact mixing the tag exists to prevent
+        pairs = [p for p in results[m] if p.get("rev", "legacy") == rev]
         if not pairs:
             summary["modes"][m] = None
             continue
@@ -337,12 +341,22 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
 """)
 
     # summary matrix across protocols — current kernel revision first, then
-    # the pre-r4-kernel rows (same engine architecture, pre round-4 cascade
-    # kernel micro-optimizations; arms within a pair always ran the SAME
-    # kernel, so their ratios are valid evidence and are kept on record)
+    # one row-group PER prior revision (same engine architecture, earlier
+    # cascade kernels; arms within a pair always ran the SAME kernel, so
+    # within-rev ratios are valid evidence and are kept on record — but
+    # revisions are never lumped, or min-wall could pair a slow old small
+    # arm with a fast new big arm)
+    revs_present: list[str] = [KERNEL_REV]
+    for res in all_results.values():
+        for m in ("none", "parquet"):
+            for p in res[m]:
+                r = p.get("rev", "legacy")
+                if r not in revs_present:
+                    revs_present.append(r)
     matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | quiet pairs |",
               "|---|---|---|---|---|---|"]
-    for rev, tag in ((KERNEL_REV, KERNEL_REV), (None, "prior kernels")):
+    for rev in revs_present:
+        tag = "pre-r4 (r2/r3)" if rev == "legacy" else rev
         for proto, res in all_results.items():
             s = _summarize(res, rev=rev)
             for m, ph in (("none", "compute"), ("parquet", "e2e")):

@@ -549,8 +549,18 @@ def _ar_order_by_aic(y: np.ndarray, order_max: int):
     ~65% of its wall time before this change). The residual stream for the
     winning order is still produced by the exact embed+lstsq path in the
     caller, so downstream arch/garch inputs are bit-identical to an OLS
-    fit. Returns None when no order admits a positive residual variance."""
+    fit. Returns None when no order admits a positive residual variance.
+
+    The scan runs on the CENTERED series: an OLS-with-intercept SSE is
+    mathematically invariant to subtracting the sample mean, but the
+    normal equations square the design's condition number, and on raw
+    token-scale data (mean ~4e4 >> sd) the uncentered Gram entries lose
+    the signal to cancellation — fuzzing against the exact SVD scan on
+    level+trend series showed frequent order flips uncentered, none
+    centered. (The pinned heterogeneity paths feed z-scored series, where
+    centering is a ~1e-17 shift — fixture/oracle values are unchanged.)"""
     n = len(y)
+    y = y - y.mean()
     cum1 = np.concatenate(([0.0], np.cumsum(y)))
     # cumd[d][i] = Σ_{u<i} y[u]·y[u+d]
     cumd = [np.concatenate(([0.0], np.cumsum(y[: n - d] * y[d:])))

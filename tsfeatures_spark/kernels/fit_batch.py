@@ -80,6 +80,22 @@ def _length_groups(order: List[int], lens: Sequence[int],
     return groups
 
 
+def _coerce_series(ys: Sequence) -> List:
+    """Per-series input coercion with the scalar kernels' resilience: a
+    value that cannot become a 1-D float array (0-d scalar, ragged object,
+    None) maps to None — the caller emits the NaN row the scalar kernel's
+    try/except would have produced, instead of one bad series failing the
+    whole Spark task (the batch paths run OUTSIDE compute_features' guard)."""
+    out = []
+    for y in ys:
+        try:
+            a = np.asarray(y, dtype=float)
+            out.append(a if a.ndim == 1 else None)
+        except Exception:
+            out.append(None)
+    return out
+
+
 def _pad_group(ys: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """(S, T) zero-padded matrix + (S,) lengths. Zeros are inert: every
     accumulator contribution at t >= len is masked to exactly 0.0."""
@@ -199,10 +215,10 @@ def holt_fit_batch(ys: Sequence[np.ndarray],
     series, same as `compute_features`)."""
     N = len(ys)
     out = np.full((N, 2), np.nan)
-    ys = [np.asarray(y, dtype=float) for y in ys]
-    eligible = [i for i, y in enumerate(ys) if len(y) >= 4]
+    ys = _coerce_series(ys)
+    eligible = [i for i, y in enumerate(ys) if y is not None and len(y) >= 4]
     order = sorted(eligible, key=lambda i: len(ys[i]))
-    lens = [len(y) for y in ys]
+    lens = [len(y) if y is not None else 0 for y in ys]
     for idx in _length_groups(order, lens, group):
         out[idx] = _holt_group([ys[i] for i in idx], rounds)
     return out
@@ -313,12 +329,13 @@ def hw_fit_batch(ys: Sequence[np.ndarray], m: int,
     series (pre-scaled input, as with `holt_fit_batch`)."""
     N = len(ys)
     out = np.full((N, 3), np.nan)
-    ys = [np.asarray(y, dtype=float) for y in ys]
+    ys = _coerce_series(ys)
     m = int(m)
-    inits = {i: _hw_inits(ys[i], m) for i in range(N)}
+    inits = {i: (_hw_inits(ys[i], m) if ys[i] is not None else None)
+             for i in range(N)}
     eligible = [i for i in range(N) if inits[i] is not None]
     order = sorted(eligible, key=lambda i: len(ys[i]))
-    lens = [len(y) for y in ys]
+    lens = [len(y) if y is not None else 0 for y in ys]
     for idx in _length_groups(order, lens, group):
         out[idx] = _hw_group([ys[i] for i in idx], m,
                              [inits[i] for i in idx], rounds)
@@ -451,7 +468,7 @@ def heterogeneity_fit_batch(ys: Sequence[np.ndarray],
             from .features import heterogeneity
 
             for i in idx:
-                out[i] = heterogeneity(np.asarray(ys[i], dtype=float), freq)
+                out[i] = heterogeneity(ys[i], freq)  # scalar guards inside
             continue
         for r_i, i in enumerate(idx):
             resid, lb, arch_r2 = pre[i]

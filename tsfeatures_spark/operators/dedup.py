@@ -138,7 +138,11 @@ def _rebatch(batches, target_rows: int, text_col: str | None = None,
         if text_col is None:
             yield pdf, 0
             return
-        sizes = pdf[text_col].str.len().fillna(0).to_numpy(np.int64)
+        # UTF-8 BYTES, not characters: the shingle kernel allocates over
+        # encoded buffers, and CJK/emoji text is 3-4 bytes per char — a
+        # char-counted budget would admit ~4x the intended bytes
+        sizes = (pdf[text_col].str.encode("utf-8").str.len()
+                 .fillna(0).to_numpy(np.int64))
         cs = sizes.cumsum()
         total = int(cs[-1]) if len(cs) else 0
         if total <= target_bytes or len(pdf) == 1:
