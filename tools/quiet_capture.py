@@ -40,7 +40,14 @@ TRIAL_FLAG = "/tmp/graft_trial_running"
 DEV_FLAG = "/tmp/graft_dev_busy"
 TARGET_QUIET = 2
 FORCE_EVERY = 12          # ungated pair every N idle cycles (min-wall accum)
-SLEEP_SEC = 110
+SLEEP_SEC = 75
+# Fire a pair when the gate probe reaches FIRE_FRAC of pmax — slightly below
+# the QUIET_FRAC scoring bar. Probes drift +-8% minute to minute (the 12:13
+# pair gated at 0.96 pmax but its big leg probed 0.89), so gating at the
+# scoring bar itself misses windows that drift UP after the gate; firing a
+# bit early costs one wasted pair, never a mislabeled one — quietness is
+# judged per-arm at the 0.93 bar regardless of why the pair fired.
+FIRE_FRAC = 0.90
 
 # cluster2 (the honest per-executor-JVM analog) first per VERDICT r03 #3,
 # but local2 — the one protocol whose arms both fit the deliverable-core
@@ -106,8 +113,13 @@ def run_pair(proto: str, mode: str, n_docs: int,
             _log(f"  {proto}/{mode}: dev work slipped in before the trial "
                  f"flag; aborting pair unsaved")
             return None
+        # BIG arm first: it is the short leg (~1/3 the small arm's wall), and
+        # the gate probe that opened the window was taken seconds ago — running
+        # it immediately maximizes the chance BOTH legs finish inside the same
+        # quiet window. Execution order cannot bias the measurement: each arm
+        # is a fresh pinned JVM scored by its own immediately-preceding probe.
         for i, (role, (label, cpus, master)) in enumerate(
-                zip(("small", "big"), arms)):
+                (("big", arms[1]), ("small", arms[0]))):
             probe = first_probe if (i == 0 and first_probe is not None) \
                 else capacity_probe(probe_cores)
             r = run_once(cpus, n_docs, mode, master)
@@ -145,7 +157,7 @@ def main() -> None:
         fired = False
         for proto, mode in todo:
             _, _, pmax = state[(proto, mode)]
-            thr = QUIET_FRAC * pmax
+            thr = FIRE_FRAC * pmax
             probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
             if probe >= thr:
                 _log(f"QUIET window for {proto}/{mode}: probe "

@@ -281,6 +281,84 @@ def _fmt_eff(v) -> str:
     return "—" if v is None else f"{v:.3f}"
 
 
+BAND_FLOORS = (0.93, 0.89, 0.85)
+
+
+def _band_rows(all_results: dict[str, dict]) -> list[str]:
+    """Best current-kernel pair efficiency as a function of the probe floor.
+
+    The 0.93 quiet bar is this harness's own choice; when the host spends a
+    whole round below it, a single scalar hides how efficiency trends as
+    windows get quieter. Each row: the best compute-phase pair whose WORST
+    arm probe is >= floor * pmax — so the 0.93 row equals the headline
+    quiet-pair number and lower floors show near-quiet evidence explicitly
+    labeled with its own probe floor, never silently promoted to 'quiet'."""
+    rows = ["| protocol | probe floor | best pair eff | pair min-probe | pair walls (N, 4N) |",
+            "|---|---|---|---|---|"]
+    for proto, res in all_results.items():
+        s = _summarize(res)
+        pmax = s["pmax"]
+        pairs = [p for p in res["none"] if p.get("rev", "legacy") == KERNEL_REV]
+        for floor in BAND_FLOORS:
+            elig = [p for p in pairs
+                    if min(p["small"]["probe"], p["big"]["probe"]) >= floor * pmax]
+            if not elig:
+                rows.append(f"| {proto} | {floor:.2f} | — (no pair) | — | — |")
+                continue
+            best = max(elig, key=lambda p: p["big"]["tps"] / p["small"]["tps"])
+            eff = (best["big"]["tps"] / best["small"]["tps"]) / 4.0
+            mp_ = min(best["small"]["probe"], best["big"]["probe"]) / pmax
+            rows.append(
+                f"| {proto} | {floor:.2f} | {eff:.3f} | {mp_:.2f}·pmax "
+                f"| {best['small']['sec']}s, {best['big']['sec']}s |")
+    return rows
+
+
+def _host_ceiling_section() -> str:
+    """Quantified host ceiling for the 4-vs-16-pinned-core shape, from the
+    no-Spark controls (tools/mp_ceiling.py, tools/probe_sampler.py)."""
+    lines = []
+    mp_path = os.path.join(REPO, "BENCH", "mp_ceiling.json")
+    if os.path.exists(mp_path):
+        with open(mp_path) as f:
+            d = json.load(f)
+        hist = d["pairs"]
+        t_small = min(p["small"]["sec"] for p in hist)
+        t_big = min(p["big"]["sec"] for p in hist)
+        lines.append(
+            f"**No-engine control (tools/mp_ceiling.py):** the exact cascade "
+            f"kernel (gen_doc + rollup_doc, {d['n_docs']} docs) as plain pinned "
+            f"multiprocessing — no Spark/JVM/Arrow — on the same core sets the "
+            f"cluster2 arms use reads **{t_small / (4 * t_big):.3f} min-wall "
+            f"efficiency** over {len(hist)} pairs (best walls {t_small}s @4c, "
+            f"{t_big}s @16c). Any engine running the same kernel on the same "
+            f"cores is bounded by this host number; Spark efficiency should be "
+            f"read relative to it.")
+    sp = os.path.join(REPO, "BENCH", "probe_samples.jsonl")
+    if os.path.exists(sp):
+        samples = [json.loads(x) for x in open(sp) if x.strip()]
+        if samples:
+            ratios = sorted(s["ratio"] for s in samples)
+            med = ratios[len(ratios) // 2]
+            smax = max(s["small_percore"] for s in samples)
+            quiet = sorted(s["ratio"] for s in samples
+                           if s["small_percore"] >= 0.93 * smax)
+            qtxt = (f"median {quiet[len(quiet) // 2]:.3f} over {len(quiet)} "
+                    f"quiet samples" if quiet else "no quiet samples yet")
+            lines.append(
+                f"**Wide-set tax (tools/probe_sampler.py, {len(samples)} paired "
+                f"samples):** per-core busy-loop capacity of pinned cores 0-15 "
+                f"vs pinned cores 0-3 measured back to back: the hypervisor "
+                f"delivers a 16-core set only R = median {med:.3f} "
+                f"({qtxt}) of the per-core capacity it gives a 4-core set at "
+                f"the same instant. R is the physical efficiency ceiling for "
+                f"ANY 4->16-core comparison on this box; engine-relative "
+                f"efficiency = measured efficiency / R.")
+    if not lines:
+        return ""
+    return "### Host ceiling for the 4 vs 16-core shape\n\n" + "\n\n".join(lines) + "\n"
+
+
 def write_report(n_docs: int, all_results: dict[str, dict]) -> None:
     """BENCH/BASELINE.md covering every protocol with trials on disk."""
     tokens = 0
@@ -443,6 +521,11 @@ so end-to-end on real hardware tracks the compute figure.
 
 {os.linesep.join(matrix)}
 
+### Probe-floor bands (compute phase, current kernel)
+
+{os.linesep.join(_band_rows(all_results))}
+
+{_host_ceiling_section()}
 {os.linesep.join(proto_sections)}
 ## Prior-session bests (same pipeline, quiet host windows)
 
