@@ -94,8 +94,13 @@ def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
     write_report(n_docs, {p: _load_prior(p, n_docs) for p in PROTOCOLS})
 
 
+INTERLEG_WAIT_SEC = 480   # max wait for probe recovery between legs
+INTERLEG_POLL_SEC = 40
+
+
 def run_pair(proto: str, mode: str, n_docs: int,
-             first_probe: float | None = None) -> dict | None:
+             first_probe: float | None = None,
+             pmax: float = 0.0) -> dict | None:
     """Run one (small, big) pair and save it. Returns None WITHOUT saving
     when a dev command slipped through the coordination race: the cycle-top
     dev-busy check leaves a window (probe ~1.2s + state read) before
@@ -122,6 +127,28 @@ def run_pair(proto: str, mode: str, n_docs: int,
                 (("big", arms[1]), ("small", arms[0]))):
             probe = first_probe if (i == 0 and first_probe is not None) \
                 else capacity_probe(probe_cores)
+            # Inter-leg recovery wait: the 13:04 near-miss fired on a quiet
+            # gate, ran the big leg quiet (46k), then launched the small leg
+            # straight into a noise dip (38k) — wasting the whole window. If
+            # the FIRST leg was quiet but the probe has dipped below the
+            # scoring bar when the second leg is due, wait (bounded) for the
+            # host to recover rather than burn the pair. This cannot bias
+            # the measurement: probes only gate WHEN a leg runs; each leg is
+            # still scored by its own immediately-preceding probe, and the
+            # pair is quiet only if BOTH legs' probes clear the same bar.
+            if i == 1 and pmax > 0:
+                bar = QUIET_FRAC * pmax
+                first_leg_quiet = pair["big"]["probe"] >= bar
+                waited = 0.0
+                while (first_leg_quiet and probe < bar
+                       and waited < INTERLEG_WAIT_SEC
+                       and not os.path.exists(DEV_FLAG)):
+                    _log(f"  {proto}/{mode}: inter-leg probe "
+                         f"{probe / 1e3:.0f}k < bar {bar / 1e3:.0f}k — "
+                         f"waiting for recovery ({waited:.0f}s)")
+                    time.sleep(INTERLEG_POLL_SEC)
+                    waited += INTERLEG_POLL_SEC
+                    probe = capacity_probe(probe_cores)
             r = run_once(cpus, n_docs, mode, master)
             pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                           "probe": probe, "tokens": r["tokens"]}
@@ -155,23 +182,27 @@ def main() -> None:
             _log("all (proto, mode) targets met; exiting")
             break
         fired = False
-        for proto, mode in todo:
-            _, _, pmax = state[(proto, mode)]
-            thr = FIRE_FRAC * pmax
-            probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
-            if probe >= thr:
-                _log(f"QUIET window for {proto}/{mode}: probe "
-                     f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k — firing pair")
-                run_pair(proto, mode, n_docs, first_probe=probe)
-                fired = True
-                break
+        # Quiet windows are scarce: give the one that opens to the deficient
+        # combo with the FEWEST quiet pairs (ties broken by PRIORITY order),
+        # so cluster2 and local2 alternate instead of cluster2 monopolizing
+        # every window until it reaches TARGET_QUIET.
+        proto, mode = min(todo, key=lambda pm: (state[pm][0],
+                                                PRIORITY.index(pm)))
+        _, _, pmax = state[(proto, mode)]
+        thr = FIRE_FRAC * pmax
+        probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
+        if probe >= thr:
+            _log(f"QUIET window for {proto}/{mode}: probe "
+                 f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k — firing pair")
+            run_pair(proto, mode, n_docs, first_probe=probe, pmax=pmax)
+            fired = True
+        else:
             _log(f"{proto}/{mode}: probe {probe / 1e3:.1f}k "
                  f"< {thr / 1e3:.1f}k (need {state[(proto, mode)][0]}"
                  f"/{TARGET_QUIET} quiet)")
             # one gate probe per cycle is enough signal; protocols share
-            # the host, so a noisy read for the top priority means noisy
+            # the host, so a noisy read for the chosen combo means noisy
             # for all of them this cycle
-            break
         if fired:
             cycles_since_fire = 0
             continue
@@ -183,7 +214,7 @@ def main() -> None:
             main.force_idx += 1
             _log(f"forcing ungated pair for {proto}/{mode} "
                  f"(min-wall accumulation)")
-            run_pair(proto, mode, n_docs)
+            run_pair(proto, mode, n_docs, pmax=state[(proto, mode)][2])
             cycles_since_fire = 0
             continue
         time.sleep(SLEEP_SEC)
