@@ -295,8 +295,15 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
                 pr = whole_doc_row
             else:
                 pr = _partial_window_row(xf[nw_full * W :])
+            # preallocated assembly (np.append's asarray/ravel/concatenate
+            # dispatch showed up at ~5% of kernel CPU: ~15 keys x 3 tiers
+            # per doc on small arrays is call-overhead-dominated)
             for k in rows:
-                rows[k] = np.append(rows[k], pr[k])
+                v = rows[k]
+                col = np.empty(len(v) + 1)
+                col[:-1] = v
+                col[-1] = pr[k]
+                rows[k] = col
         # blocks
         blocks: list[bytes] = []
         if tier == "1m":
