@@ -227,16 +227,22 @@ SESSION_HISTORY = [
 # only 1.2, so GARCH keeps its fixed two-stage grid; holt 3.78 -> 2.37;
 # hw 4.84 -> 3.39), and the Holt/HW fits were additionally batched
 # ACROSS series (kernels/fit_batch.py, bit-identical, ~2.5x on the fit
-# portion). Round-4 builder preview (host ~80% capacity):
-# feats_default_set 2.271 s best with spread [2.271, 2.302, 2.315]
-# (220 series/s — the round-2 speed at the round-3 accuracy),
-# dedup_minhash_lsh 2.399 s (r03: 3.00). The cascade kernel itself is
+# portion). Round-4 QUIET-WINDOW capture (tools/quiet_driver_bench.py,
+# probe-gated: 45.5k before / 46.3k after vs pmax 49.3k —
+# BENCH/driver_bench_quiet.json): rollup 5.745 s best of 5
+# ([5.745, 6.872, 7.382, 7.843, 14.553], 10.39M tok/s — sink-bound at
+# local[32]: the 2x-faster compute kernel moves the e2e bottleneck to
+# the single shared virtio disk, which a real 4N cluster scales out),
+# feats_default_set 1.814 s best (275.6 series/s — vs 3.31 r03 / 2.31
+# r02: the VERDICT #2 target of <=2.5 s met with the certificates still
+# green at full depth in tests), dedup_minhash_lsh 1.492 s (r03: 3.00),
+# suite total 13.36 s (r03: 17.00). The cascade kernel itself is
 # ~2x round 3 single-core: an interleaved same-window A/B during the
 # rewrite measured 0.83M tok/s/core (r3 kernel) -> 1.50M (batched XOR
 # blocks + in-place flat-spot codes + lean partial ACF); the later fused
 # partial rows cut partial-row share 41% -> 33% on top.
-DRIVER_PROTOCOL = {"min_sec": 5.694, "median_sec": 7.831,
-                   "min_tps": 10_481_621, "median_tps": 7_620_969}
+DRIVER_PROTOCOL = {"min_sec": 5.745, "median_sec": 7.382,
+                   "min_tps": 10_387_969, "median_tps": 8_083_547}
 
 
 def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
@@ -561,10 +567,13 @@ quiet. Capability claims should read BEST-OVER-SESSIONS per arm.
 The per-round driver bench (`python bench.py`, default envs: local[32]
 UNPINNED on this ~22-effective-core box, sf0.1 suite, sink included,
 best-of-3 trials) measures the same cascade on 15,000 docs / ~60M
-tokens. Round-3 final (post zstd-pool fix + whole-doc-row reuse):
+tokens. Round-4 probe-gated quiet-window capture
+(tools/quiet_driver_bench.py -> BENCH/driver_bench_quiet.json):
 **{DRIVER_PROTOCOL['min_sec']}s min /
-{DRIVER_PROTOCOL['median_sec']}s median** over 3 trials
-({DRIVER_PROTOCOL['min_tps']:,} / {DRIVER_PROTOCOL['median_tps']:,} tokens/sec) —
+{DRIVER_PROTOCOL['median_sec']}s median** over 5 trials
+({DRIVER_PROTOCOL['min_tps']:,} / {DRIVER_PROTOCOL['median_tps']:,} tokens/sec),
+feats_default_set 1.814 s (275.6 series/s — vs 3.31 in r03: the deeper
+certified fits are now depth-parameterized), dedup_minhash_lsh 1.492 s.
 BENCH_r{{N}}.json `rollup.sec_all` records each round's spread; expect
 numbers in this band, scaled by host noise at run time.
 
