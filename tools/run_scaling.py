@@ -275,10 +275,28 @@ def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
               if min(p["small"]["probe"], p["big"]["probe"]) >= QUIET_FRAC * pmax]
         eff_quiet = max(((p["big"]["tps"] / p["small"]["tps"]) / 4.0 for p in qp),
                         default=None)
+        # QUIET-ARMS efficiency: fastest probe-quiet small arm vs fastest
+        # probe-quiet big arm, across pairs. Same cross-pair min-wall logic
+        # as eff_min but BOTH arms restricted to probe-quiet runs — it
+        # removes min-wall's asymmetry (a noisy big leg understates the
+        # ratio even when a quiet small happens to exist) without requiring
+        # the two legs to land inside one pair. Strictly more conservative
+        # than eff_min on the noise dimension; labeled distinctly, never
+        # substituted for the same-pair quiet number.
+        qs = [p["small"] for p in pairs
+              if p["small"]["probe"] >= QUIET_FRAC * pmax]
+        qb = [p["big"] for p in pairs
+              if p["big"]["probe"] >= QUIET_FRAC * pmax]
+        eff_qarms = None
+        if qs and qb:
+            eff_qarms = (min(qb, key=lambda d: d["sec"])["tps"]
+                         / min(qs, key=lambda d: d["sec"])["tps"]) / 4.0
         summary["modes"][m] = {
             "best_small": bs, "best_big": bb,
             "eff_min": (bb["tps"] / bs["tps"]) / 4.0,
             "eff_quiet": eff_quiet, "n_quiet": len(qp), "n_pairs": len(pairs),
+            "eff_qarms": eff_qarms,
+            "n_quiet_small": len(qs), "n_quiet_big": len(qb),
         }
     return summary
 
@@ -423,7 +441,10 @@ def write_report(n_docs: int, all_results: dict[str, dict]) -> None:
 | {arms[1][0]} (4N) | {sm['best_big']['sec']} | {sm['best_big']['tps']:,} |
 
 Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
-(best quiet pair, n={sm['n_quiet']} of {sm['n_pairs']})**.
+(best quiet pair, n={sm['n_quiet']} of {sm['n_pairs']})**,
+**{_fmt_eff(sm.get('eff_qarms'))} (quiet arms: best of
+{sm.get('n_quiet_small', 0)} quiet small / {sm.get('n_quiet_big', 0)}
+quiet big, cross-pair)**.
 """)
         proto_sections.append(f"""## Protocol `{proto}`: {arms[0][0]} (N) vs {arms[1][0]} (4N)
 
@@ -452,8 +473,8 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
                 r = p.get("rev", "legacy")
                 if r not in revs_present:
                     revs_present.append(r)
-    matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | quiet pairs |",
-              "|---|---|---|---|---|---|"]
+    matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | eff (quiet arms, cross-pair) | quiet pairs (quiet small/big arms) |",
+              "|---|---|---|---|---|---|---|"]
     for rev in revs_present:
         tag = "pre-r4 (r2/r3)" if rev == "legacy" else rev
         for proto, res in all_results.items():
@@ -463,7 +484,10 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
                 if sm:
                     matrix.append(
                         f"| {proto} | {tag} | {ph} | {sm['eff_min']:.3f} "
-                        f"| {_fmt_eff(sm['eff_quiet'])} | {sm['n_quiet']}/{sm['n_pairs']} |")
+                        f"| {_fmt_eff(sm['eff_quiet'])} "
+                        f"| {_fmt_eff(sm.get('eff_qarms'))} "
+                        f"| {sm['n_quiet']}/{sm['n_pairs']} "
+                        f"({sm.get('n_quiet_small', 0)}s/{sm.get('n_quiet_big', 0)}b) |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -533,8 +557,13 @@ protocol.
 immediately before every trial; a trial pair is QUIET when both its
 probes are within {int(QUIET_FRAC*100)}% of the session-best probe for its protocol.
 Reported: (a) min-wall per arm over all interleaved trials (capability),
-and (b) the best quiet pair (both arms probe-quiet — the number a
-dedicated host would show). The two legs of a pair run back to back
+(b) the best quiet pair (both arms probe-quiet — the number a
+dedicated host would show), and (c) QUIET ARMS: the fastest probe-quiet
+small arm vs the fastest probe-quiet big arm across all pairs — the
+same cross-pair min-wall logic as (a) but with both arms restricted to
+probe-quiet runs, so a noisy leg can neither inflate nor deflate the
+ratio; it uses quiet legs even when no single pair landed both legs
+quiet. The two legs of a pair run back to back
 when the host stays quiet; if the probe dips between legs the harness
 waits (bounded, <=8 min) for recovery, so a quiet pair's arms may sit in
 two adjacent quiet windows — each arm is always scored by its own
