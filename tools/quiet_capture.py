@@ -169,6 +169,7 @@ def main() -> None:
     deadline = time.time() + max_hours * 3600
     cycles_since_fire = 0
     main.force_idx = 0
+    main.fire_count = 0
     _log(f"quiet-capture loop: {max_hours}h budget, quiet_frac={QUIET_FRAC}")
     while time.time() < deadline:
         if os.path.exists(DEV_FLAG):
@@ -183,11 +184,14 @@ def main() -> None:
             break
         fired = False
         # Quiet windows are scarce: give the one that opens to the deficient
-        # combo with the FEWEST quiet pairs (ties broken by PRIORITY order),
-        # so cluster2 and local2 alternate instead of cluster2 monopolizing
-        # every window until it reaches TARGET_QUIET.
-        proto, mode = min(todo, key=lambda pm: (state[pm][0],
-                                                PRIORITY.index(pm)))
+        # combos with the FEWEST quiet pairs, ROTATING among ties per fired
+        # window (a pure fewest-first tie-break by PRIORITY order would let
+        # cluster2 monopolize every window while it stays at zero quiet
+        # pairs — starving local2, the one protocol that can physically
+        # demonstrate the 0.8 bar on this host).
+        min_q = min(state[pm][0] for pm in todo)
+        tied = [pm for pm in todo if state[pm][0] == min_q]
+        proto, mode = tied[main.fire_count % len(tied)]
         _, _, pmax = state[(proto, mode)]
         thr = FIRE_FRAC * pmax
         probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
@@ -195,6 +199,7 @@ def main() -> None:
             _log(f"QUIET window for {proto}/{mode}: probe "
                  f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k — firing pair")
             run_pair(proto, mode, n_docs, first_probe=probe, pmax=pmax)
+            main.fire_count += 1
             fired = True
         else:
             _log(f"{proto}/{mode}: probe {probe / 1e3:.1f}k "
