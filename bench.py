@@ -118,13 +118,20 @@ def main() -> None:
     # roughly double the odds one lands in a calm microwindow. The JSON
     # records the full spread either way.
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+    # steal-wave adaptivity: keep drawing (bounded) until the fastest two
+    # trials agree within 10% — in a quiet window the base draws already
+    # do (spreads ~1.1x) and nothing extra runs; under hypervisor steal
+    # (3-7x swings) extra draws stop the reported min from reading the
+    # wave instead of the pipeline. Full spread always lands in sec_all.
+    max_trials = int(os.environ.get("SPARK_GRAFT_MAX_TRIALS", "9"))
     # sink=none measures the scan+cascade compute phase only (used by the
     # scaling harness: on one box the single local disk is a fixed resource
     # that a real 4N-executor cluster would scale out; CPU is what the
     # N-vs-4N proxy can honestly vary). Default includes the parquet sink.
     sink = os.environ.get("SPARK_GRAFT_SINK", "parquet")
     trial_secs: list[float] = []
-    for _ in range(max(trials, 1)):
+
+    def _one_trial() -> None:
         shutil.rmtree(out_path, ignore_errors=True)
         t0 = time.time()
         r = rollup_tiers(toks)
@@ -138,6 +145,14 @@ def main() -> None:
                 .parquet(out_path)
             )
         trial_secs.append(time.time() - t0)
+
+    for _ in range(max(trials, 1)):
+        _one_trial()
+    while 2 <= len(trial_secs) < max_trials:
+        fastest_two = sorted(trial_secs)[:2]
+        if fastest_two[1] / fastest_two[0] <= 1.10:
+            break  # min corroborated by an independent draw — converged
+        _one_trial()
     trial_secs.sort()
     rollup_sec = trial_secs[0]
     rollup_median = trial_secs[len(trial_secs) // 2]
