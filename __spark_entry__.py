@@ -779,6 +779,21 @@ def doc_fingerprint(spark, sf_dir):
     return d.select(F.col("doc_id").cast("string").alias("doc_id"), fingerprint_col("text"))
 
 
+def doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing of documents into 1024-token
+    training bins per source (operators/packing.py — two-pass ordered
+    prefix sum, no single-partition window). Cost = whitespace tokens,
+    the same expression the doc_token_counts oracle hash-verifies."""
+    from tsfeatures_spark.operators.packing import pack_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws"),
+    )
+    return pack_bins(d, budget=1024, cost_col="n_ws",
+                     key_col="source", order_col="doc_id")
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     from tsfeatures_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1258,6 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_rollup_tiers": tok_rollup_tiers,
         "dedup_near_pipeline": dedup_near_pipeline,
         "tok_decode_roundtrip": tok_decode_roundtrip,
+        # round-4 addition: training-sequence packing (50th entry — the
+        # registry stays exactly at the driver gate's 50-query window)
+        "doc_pack_sequences": doc_pack_sequences,
     }
 
 
@@ -2520,6 +2538,28 @@ def oracle_sql() -> dict[str, str]:
             _tok_tier_oracle(3600, "1h") + " union all " +
             _tok_tier_oracle(86400, "1d")
         ),
+        # concat-and-chunk packing: the oracle is the PLAIN single-window
+        # formulation — the engine's two-pass bucketed prefix sum must
+        # reproduce it bin-for-bin (token count expression identical to
+        # the hash-verified doc_token_counts oracle)
+        "doc_pack_sequences": r"""
+            with c as (
+                select source, doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+'))::bigint as n_ws
+                from documents
+            ), w as (
+                select source, doc_id, n_ws,
+                       coalesce(sum(n_ws) over (partition by source
+                                order by doc_id rows between unbounded
+                                preceding and 1 preceding), 0) as cum_before
+                from c
+            )
+            select source, (cum_before // 1024)::bigint as bin_id,
+                   count(*)::bigint as n_docs,
+                   sum(n_ws)::bigint as packed_tokens,
+                   min(doc_id) as first_doc, max(doc_id) as last_doc
+            from w group by 1, 2
+        """,
     }
     # the eleven per-series SQL-mirror singletons gate as ONE composite row
     # set (ts_sql_singletons) so every kernel oracle sits INSIDE the

@@ -1,0 +1,93 @@
+"""Sequence packing (operators/packing.py): the two-pass bucketed prefix
+sum must be row-identical to the plain single-window formulation, stay
+parallel under dominant-key skew, and never plan a single-partition
+window."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsfeatures_spark.operators.packing import pack_bins, pack_sequences
+
+
+def _reference_bins(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Plain pandas cumsum formulation (the oracle's shape)."""
+    out = []
+    for src, g in pdf.sort_values(["source", "doc_id"]).groupby("source"):
+        cum_before = g["n_tok"].cumsum() - g["n_tok"]
+        bins = (cum_before // budget).astype(np.int64)
+        agg = g.assign(bin_id=bins.values).groupby("bin_id").agg(
+            n_docs=("doc_id", "size"), packed_tokens=("n_tok", "sum"),
+            first_doc=("doc_id", "min"), last_doc=("doc_id", "max"))
+        agg = agg.reset_index().assign(source=src)
+        out.append(agg)
+    return (pd.concat(out)[["source", "bin_id", "n_docs", "packed_tokens",
+                            "first_doc", "last_doc"]]
+            .sort_values(["source", "bin_id"]).reset_index(drop=True))
+
+
+def _skewed_pdf(n=500, seed=7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    # 'web' owns ~70% of rows — the skew case the two-pass design targets
+    sources = rng.choice(["web", "books", "code"], size=n, p=[0.7, 0.2, 0.1])
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64) * 3 + 11,  # non-dense ids
+        "source": sources,
+        "n_tok": rng.integers(1, 400, size=n).astype(np.int64),
+    })
+
+
+def test_pack_bins_matches_single_window(spark):
+    pdf = _skewed_pdf()
+    df = spark.createDataFrame(pdf)
+    got = (pack_bins(df, budget=256, n_buckets=16).toPandas()
+           .sort_values(["source", "bin_id"]).reset_index(drop=True))
+    want = _reference_bins(pdf, 256)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def test_pack_bins_bucket_count_invariant(spark):
+    """Bin assignment cannot depend on the bucketing granularity."""
+    pdf = _skewed_pdf(n=200, seed=13)
+    df = spark.createDataFrame(pdf)
+    a = (pack_sequences(df, budget=128, n_buckets=4)
+         .select("doc_id", "bin_id").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (pack_sequences(df, budget=128, n_buckets=64)
+         .select("doc_id", "bin_id").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_oversized_doc_starts_bin_attribution(spark):
+    """A doc longer than the budget is attributed to its starting bin and
+    pushes the next doc past the boundary (concat-chunk semantics)."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s", "s", "s"],
+        "n_tok": [10, 250, 5],  # budget 100: doc2 starts in bin 0 at tok 10
+    })
+    got = (pack_sequences(spark.createDataFrame(pdf), budget=100)
+           .select("doc_id", "bin_id").toPandas()
+           .sort_values("doc_id")["bin_id"].tolist())
+    # cum_before: doc1=0 -> bin 0; doc2=10 -> bin 0; doc3=260 -> bin 2
+    assert got == [0, 0, 2]
+
+
+def test_pack_empty_and_bad_budget(spark):
+    pdf = _skewed_pdf(n=5)
+    df = spark.createDataFrame(pdf)
+    assert pack_bins(df.limit(0), budget=64).count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_pack_plan_has_no_single_partition_window(spark):
+    """The scale guarantee: every window sort is partitioned by
+    (key, bucket) — nothing funnels one key through one task."""
+    df = spark.createDataFrame(_skewed_pdf())
+    plan = pack_sequences(df, budget=256)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan[:3000]
