@@ -65,6 +65,25 @@ def ensure_token_table(spark, path: str) -> None:
     write_token_table(spark, path, n_docs=N_DOCS, base_seed=42, buckets=max(CPUS * 2, 16))
 
 
+def _hold_dev_flag() -> str | None:
+    """Claim /tmp/graft_dev_busy for the duration of this bench run so the
+    opportunistic background loops (tools/quiet_capture.py trial pairs,
+    tools/probe_sampler.py probes) pause instead of competing for cores —
+    the per-round driver bench must measure the engine, not a collision.
+    Skipped when TRIAL_FLAG exists: then THIS process is a leg of a
+    quiet-capture trial and the flag would deadlock the harness's own
+    inter-leg DEV_FLAG checks."""
+    trial_flag = "/tmp/graft_trial_running"
+    dev_flag = "/tmp/graft_dev_busy"
+    if os.path.exists(trial_flag) or os.path.exists(dev_flag):
+        return None
+    try:
+        open(dev_flag, "w").close()
+    except OSError:
+        return None
+    return dev_flag
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -233,4 +252,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _held = _hold_dev_flag()
+    try:
+        main()
+    finally:
+        if _held is not None:
+            try:
+                os.remove(_held)
+            except OSError:
+                pass
