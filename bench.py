@@ -70,13 +70,22 @@ def _hold_dev_flag() -> str | None:
     opportunistic background loops (tools/quiet_capture.py trial pairs,
     tools/probe_sampler.py probes) pause instead of competing for cores —
     the per-round driver bench must measure the engine, not a collision.
-    Skipped when TRIAL_FLAG exists: then THIS process is a leg of a
-    quiet-capture trial and the flag would deadlock the harness's own
-    inter-leg DEV_FLAG checks."""
+
+    Skipped when SPARK_GRAFT_TRIAL_CHILD is set: then THIS process is a leg
+    of a scaling trial and claiming the flag would make the harness's
+    inter-leg DEV_FLAG checks abort their own subprocess. If another
+    trial's flag is up, wait (bounded) for its leg to finish, then claim
+    anyway: quiet_capture aborts an in-flight pair unsaved at its next
+    checkpoint once the dev flag appears, so the overlap is one leg at
+    worst and the aborted pair is never recorded as evidence."""
     trial_flag = "/tmp/graft_trial_running"
     dev_flag = "/tmp/graft_dev_busy"
-    if os.path.exists(trial_flag) or os.path.exists(dev_flag):
+    if os.environ.get("SPARK_GRAFT_TRIAL_CHILD") or os.path.exists(dev_flag):
         return None
+    waited = 0.0
+    while os.path.exists(trial_flag) and waited < 120.0:
+        time.sleep(10.0)
+        waited += 10.0
     try:
         open(dev_flag, "w").close()
     except OSError:

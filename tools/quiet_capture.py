@@ -149,6 +149,14 @@ def run_pair(proto: str, mode: str, n_docs: int,
                     time.sleep(INTERLEG_POLL_SEC)
                     waited += INTERLEG_POLL_SEC
                     probe = capacity_probe(probe_cores)
+            # Dev work (incl. the driver's own bench, which now claims the
+            # dev flag) arrived since the pair fired: yield the cores and
+            # abort unsaved rather than run this leg alongside it — the leg
+            # would be polluted AND pollute the dev measurement.
+            if i == 1 and os.path.exists(DEV_FLAG):
+                _log(f"  {proto}/{mode}: dev flag appeared mid-pair; "
+                     f"aborting pair unsaved")
+                return None
             r = run_once(cpus, n_docs, mode, master)
             pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                           "probe": probe, "tokens": r["tokens"]}

@@ -124,6 +124,9 @@ def run_once(cpus: int, n_docs: int, sink: str, master: str | None = None) -> di
         "SPARK_GRAFT_ROLLUP_ONLY": "1",
         "SPARK_GRAFT_TRIALS": "1",
         "SPARK_GRAFT_SINK": sink,
+        # tells bench.py it is a trial leg: it must not claim the dev-busy
+        # flag (the harness's own inter-leg checks would abort the pair)
+        "SPARK_GRAFT_TRIAL_CHILD": "1",
     })
     if master:
         env["SPARK_GRAFT_MASTER"] = master
