@@ -48,6 +48,17 @@ SLEEP_SEC = 75
 # bit early costs one wasted pair, never a mislabeled one — quietness is
 # judged per-arm at the 0.93 bar regardless of why the pair fired.
 FIRE_FRAC = 0.90
+# If the host regime-changes (session-best pmax set in a morning quiet era,
+# afternoon probes capped ~15% lower), a fixed fire bar can starve the
+# accumulators for hours. Decay the EFFECTIVE firing fraction by
+# FIRE_DECAY_STEP per FIRE_DECAY_SEC without a gated fire, floored at
+# FIRE_FRAC_MIN, and reset to FIRE_FRAC on any gated fire. This only
+# changes when a trial is spent: per-arm quietness is still scored at the
+# 0.93 bar, and the probe-floor bands in the report label every pair by
+# the bar its probes actually cleared.
+FIRE_FRAC_MIN = 0.82
+FIRE_DECAY_STEP = 0.02
+FIRE_DECAY_SEC = 1800.0
 
 # cluster2 (the honest per-executor-JVM analog) first per VERDICT r03 #3,
 # but local2 — the one protocol whose arms both fit the deliverable-core
@@ -178,6 +189,7 @@ def main() -> None:
     cycles_since_fire = 0
     main.force_idx = 0
     main.fire_count = 0
+    main.last_gated_fire = time.time()
     _log(f"quiet-capture loop: {max_hours}h budget, quiet_frac={QUIET_FRAC}")
     while time.time() < deadline:
         if os.path.exists(DEV_FLAG):
@@ -201,12 +213,18 @@ def main() -> None:
         tied = [pm for pm in todo if state[pm][0] == min_q]
         proto, mode = tied[main.fire_count % len(tied)]
         _, _, pmax = state[(proto, mode)]
-        thr = FIRE_FRAC * pmax
+        idle = time.time() - main.last_gated_fire
+        frac = max(FIRE_FRAC_MIN,
+                   FIRE_FRAC - FIRE_DECAY_STEP * int(idle / FIRE_DECAY_SEC))
+        thr = frac * pmax
         probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
         if probe >= thr:
             _log(f"QUIET window for {proto}/{mode}: probe "
-                 f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k — firing pair")
-            run_pair(proto, mode, n_docs, first_probe=probe, pmax=pmax)
+                 f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k "
+                 f"(fire frac {frac:.2f}) — firing pair")
+            if run_pair(proto, mode, n_docs, first_probe=probe,
+                        pmax=pmax) is not None:
+                main.last_gated_fire = time.time()
             main.fire_count += 1
             fired = True
         else:
