@@ -58,7 +58,7 @@ FIRE_FRAC = 0.90
 # the bar its probes actually cleared.
 FIRE_FRAC_MIN = 0.82
 FIRE_DECAY_STEP = 0.02
-FIRE_DECAY_SEC = 1800.0
+FIRE_DECAY_SEC = 1200.0
 
 # cluster2 (the honest per-executor-JVM analog) first per VERDICT r03 #3,
 # but local2 — the one protocol whose arms both fit the deliverable-core
