@@ -35,6 +35,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "15000"))
 DATA_DIR = os.path.join(REPO, ".data")
 
+# background-loop coordination (see tools/quiet_capture.py docstring)
+TRIAL_FLAG = "/tmp/graft_trial_running"
+DEV_FLAG = "/tmp/graft_dev_busy"
+TRIAL_WAIT_SEC = 120.0
+TRIAL_POLL_SEC = 10.0
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -78,19 +84,17 @@ def _hold_dev_flag() -> str | None:
     anyway: quiet_capture aborts an in-flight pair unsaved at its next
     checkpoint once the dev flag appears, so the overlap is one leg at
     worst and the aborted pair is never recorded as evidence."""
-    trial_flag = "/tmp/graft_trial_running"
-    dev_flag = "/tmp/graft_dev_busy"
-    if os.environ.get("SPARK_GRAFT_TRIAL_CHILD") or os.path.exists(dev_flag):
+    if os.environ.get("SPARK_GRAFT_TRIAL_CHILD") or os.path.exists(DEV_FLAG):
         return None
     waited = 0.0
-    while os.path.exists(trial_flag) and waited < 120.0:
-        time.sleep(10.0)
-        waited += 10.0
+    while os.path.exists(TRIAL_FLAG) and waited < TRIAL_WAIT_SEC:
+        time.sleep(TRIAL_POLL_SEC)
+        waited += TRIAL_POLL_SEC
     try:
-        open(dev_flag, "w").close()
+        open(DEV_FLAG, "w").close()
     except OSError:
         return None
-    return dev_flag
+    return DEV_FLAG
 
 
 def main() -> None:

@@ -1,0 +1,105 @@
+"""Coordination contract between the bench harness and the opportunistic
+scaling-capture loop (bench.py::_hold_dev_flag, tools/quiet_capture.py::
+run_pair). Engine-side scope: the north rule's scaling evidence is only
+meaningful if a bench run and a trial pair can never pollute each other;
+these tests pin the yield protocol without Spark or real waits."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture()
+def benchmod(tmp_path, monkeypatch):
+    b = _load("bench_under_test", os.path.join(REPO, "bench.py"))
+    monkeypatch.setattr(b, "TRIAL_FLAG", str(tmp_path / "trial"))
+    monkeypatch.setattr(b, "DEV_FLAG", str(tmp_path / "dev"))
+    monkeypatch.setattr(b, "TRIAL_WAIT_SEC", 0.3)
+    monkeypatch.setattr(b, "TRIAL_POLL_SEC", 0.1)
+    monkeypatch.delenv("SPARK_GRAFT_TRIAL_CHILD", raising=False)
+    return b
+
+
+def test_hold_claims_and_is_exclusive(benchmod):
+    flag = benchmod._hold_dev_flag()
+    assert flag == benchmod.DEV_FLAG and os.path.exists(flag)
+    # a second claimant (another dev shell) must back off
+    assert benchmod._hold_dev_flag() is None
+    os.remove(flag)
+
+
+def test_trial_child_never_claims(benchmod, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TRIAL_CHILD", "1")
+    assert benchmod._hold_dev_flag() is None
+    assert not os.path.exists(benchmod.DEV_FLAG)
+
+
+def test_hold_waits_out_a_trial_leg_then_claims(benchmod):
+    open(benchmod.TRIAL_FLAG, "w").close()
+    # trial flag still up after the bounded wait: claim anyway — the loop
+    # aborts its pair unsaved at the next checkpoint once the flag appears
+    flag = benchmod._hold_dev_flag()
+    assert flag is not None and os.path.exists(flag)
+    os.remove(flag)
+    os.remove(benchmod.TRIAL_FLAG)
+
+
+@pytest.fixture()
+def qc(tmp_path, monkeypatch):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import quiet_capture as q
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setattr(q, "TRIAL_FLAG", str(tmp_path / "trial"))
+    monkeypatch.setattr(q, "DEV_FLAG", str(tmp_path / "dev"))
+    saves = []
+    monkeypatch.setattr(q, "_save_pair", lambda *a: saves.append(a))
+    monkeypatch.setattr(q, "capacity_probe", lambda cores, dur=1.2: 10_000.0)
+    q._test_saves = saves
+    return q
+
+
+def test_run_pair_aborts_unsaved_when_dev_flag_appears_midpair(qc, monkeypatch):
+    def fake_run_once(cpus, n_docs, sink, master=None):
+        # dev work (e.g. the driver's bench) claims the flag while the
+        # first (big) leg is running
+        open(qc.DEV_FLAG, "w").close()
+        return {"sec": 1.0, "tokens_per_sec": 1, "tokens": 1}
+
+    monkeypatch.setattr(qc, "run_once", fake_run_once)
+    out = qc.run_pair("local2", "none", 100, first_probe=10_000.0, pmax=11_000.0)
+    assert out is None, "pair must abort once dev work owns the cores"
+    assert qc._test_saves == [], "an aborted pair must never be recorded"
+    assert not os.path.exists(qc.TRIAL_FLAG), "trial flag must be released"
+
+
+def test_run_pair_saves_clean_pair(qc, monkeypatch):
+    monkeypatch.setattr(
+        qc, "run_once",
+        lambda cpus, n_docs, sink, master=None: {
+            "sec": 1.0, "tokens_per_sec": 1, "tokens": 1})
+    out = qc.run_pair("local2", "none", 100, first_probe=10_000.0, pmax=11_000.0)
+    assert out is not None and "big" in out and "small" in out
+    assert len(qc._test_saves) == 1
+    assert not os.path.exists(qc.TRIAL_FLAG)
+
+
+def test_run_pair_aborts_when_dev_flag_preexists(qc, monkeypatch):
+    open(qc.DEV_FLAG, "w").close()
+    monkeypatch.setattr(
+        qc, "run_once",
+        lambda *a, **k: pytest.fail("no leg may run while dev owns the cores"))
+    assert qc.run_pair("local2", "none", 100, pmax=0.0) is None
+    assert qc._test_saves == []
