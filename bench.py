@@ -17,6 +17,14 @@ Env:
 Scaling-efficiency evidence (north rule: >=0.8 from N to 4N): run this
 twice, SPARK_GRAFT_CPUS=8 then 32, same input — see tools/run_scaling.py
 which writes BENCH/BASELINE.md.
+
+Probe gating (round 5): every headline trial is preceded by a pinned
+host-capacity probe; noisy trials (probe < 0.90 * session pmax) are
+recorded-but-flagged and the headline is the min over QUIET trials, so a
+hypervisor steal wave can no longer write the round's official number
+(it wrote r04's: 11.3s recorded vs 5.7s probe-gated, same kernel).
+Disable with SPARK_GRAFT_PROBE_GATE=0; auto-disabled for scaling-trial
+legs (SPARK_GRAFT_TRIAL_CHILD) whose harness gates externally.
 """
 
 from __future__ import annotations
@@ -40,6 +48,112 @@ TRIAL_FLAG = "/tmp/graft_trial_running"
 DEV_FLAG = "/tmp/graft_dev_busy"
 TRIAL_WAIT_SEC = 120.0
 TRIAL_POLL_SEC = 10.0
+
+# -- steal-wave probe gating (round-5) -------------------------------------
+# This shared host shows hour-scale hypervisor steal waves (3-7x wall-time
+# swings on identical runs; BENCH/BASELINE.md "host noise"). Round 4's
+# official artifact recorded the rollup headline at 11.3s while a
+# probe-gated capture of the SAME kernel+config read 5.7s — the engine was
+# fine, the evidence pipeline let a noisy hour write the round's number.
+# Fix (VERDICT r04 #1): measure host capacity with a cheap pinned busy-loop
+# probe before every headline trial; a trial whose probe is below
+# QUIET_FRAC * pmax (session-best capacity, seeded from the scaling
+# harness's accumulated pmax) is recorded but marked noisy, and the loop
+# keeps drawing (bounded attempts + bounded sleep budget) until a quiet
+# trial corroborates the min. The headline is min over QUIET trials when
+# any exist; every trial carries its probe in rollup.trials_detail.
+PROBE_CORES = int(os.environ.get("SPARK_GRAFT_PROBE_CORES", "16"))
+PROBE_DUR = 1.2
+QUIET_FRAC = float(os.environ.get("SPARK_GRAFT_QUIET_FRAC", "0.90"))
+GATE_WAIT_BUDGET = float(os.environ.get("SPARK_GRAFT_GATE_BUDGET", "420"))
+GATE_POLL_SEC = 20.0
+
+
+def _spin(dur: float, q) -> None:
+    # identical body to tools/run_scaling._spin — probes MUST share units
+    # so pmax accumulated by the scaling harness seeds this gate correctly
+    end = time.perf_counter() + dur
+    it = 0
+    x = 1.0
+    while time.perf_counter() < end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+        it += 1
+    q.put(it)
+
+
+def _capacity_probe(cores: int = PROBE_CORES, dur: float = PROBE_DUR) -> float:
+    """Aggregate busy-loop iterations/sec across ``cores`` forked workers —
+    a direct read of how much CPU the shared host is giving us right now
+    (same protocol as tools/run_scaling.capacity_probe; inlined so bench.py
+    stays standalone for the driver)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_spin, args=(dur, q)) for _ in range(cores)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return total / dur
+
+
+class _ProbeGate:
+    """Session-best-relative quiet gate for headline trials.
+
+    pmax is seeded from BENCH/scaling_trials_cluster2.json (the scaling
+    harness accumulates the session-best host-capacity probe there — the
+    probe measures the HOST, so any session's best is a valid ceiling) and
+    raised by every probe observed during this bench run. Disabled when
+    this process is itself a scaling-trial leg (SPARK_GRAFT_TRIAL_CHILD):
+    the trial harness does its own gating and the legs must stay
+    protocol-identical across rounds."""
+
+    def __init__(self) -> None:
+        self.enabled = (
+            os.environ.get("SPARK_GRAFT_PROBE_GATE", "1") != "0"
+            and not os.environ.get("SPARK_GRAFT_TRIAL_CHILD")
+        )
+        self.pmax = 0.0
+        if self.enabled:
+            try:
+                with open(os.path.join(REPO, "BENCH", "scaling_trials_cluster2.json")) as f:
+                    self.pmax = float(json.load(f).get("pmax", 0.0))
+            except Exception:
+                pass
+        self.wait_budget = GATE_WAIT_BUDGET
+
+    @property
+    def bar(self) -> float:
+        return QUIET_FRAC * self.pmax
+
+    def probe(self) -> float:
+        p = _capacity_probe()
+        self.pmax = max(self.pmax, p)
+        return p
+
+    def is_quiet(self, probe: float | None) -> bool:
+        return probe is None or self.pmax <= 0 or probe >= QUIET_FRAC * self.pmax
+
+    def wait_quiet(self, max_wait: float = 120.0) -> float | None:
+        """Probe; while noisy and budget remains, sleep+reprobe. Returns the
+        last probe (which may still be below the bar if budgets ran out)."""
+        if not self.enabled:
+            return None
+        p = self.probe()
+        waited = 0.0
+        while (
+            not self.is_quiet(p)
+            and waited < max_wait
+            and self.wait_budget > 0
+        ):
+            time.sleep(GATE_POLL_SEC)
+            waited += GATE_POLL_SEC
+            self.wait_budget -= GATE_POLL_SEC
+            p = self.probe()
+        return p
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -161,9 +275,11 @@ def main() -> None:
     # that a real 4N-executor cluster would scale out; CPU is what the
     # N-vs-4N proxy can honestly vary). Default includes the parquet sink.
     sink = os.environ.get("SPARK_GRAFT_SINK", "parquet")
-    trial_secs: list[float] = []
+    gate = _ProbeGate()
+    trials_detail: list[dict] = []
 
     def _one_trial() -> None:
+        probe = gate.wait_quiet(max_wait=60.0)
         shutil.rmtree(out_path, ignore_errors=True)
         t0 = time.time()
         r = rollup_tiers(toks)
@@ -176,17 +292,32 @@ def main() -> None:
                 .partitionBy("tier")
                 .parquet(out_path)
             )
-        trial_secs.append(time.time() - t0)
+        sec = time.time() - t0
+        trials_detail.append(
+            {"sec": round(sec, 3),
+             "probe": None if probe is None else int(probe),
+             "quiet": gate.is_quiet(probe)}
+        )
+
+    def _quiet_secs() -> list[float]:
+        return sorted(t["sec"] for t in trials_detail if t["quiet"])
 
     for _ in range(max(trials, 1)):
         _one_trial()
-    while 2 <= len(trial_secs) < max_trials:
-        fastest_two = sorted(trial_secs)[:2]
-        if fastest_two[1] / fastest_two[0] <= 1.10:
-            break  # min corroborated by an independent draw — converged
+    # converged when the two fastest QUIET trials agree within 10% (an
+    # independent corroborating draw); if no quiet trial exists yet, keep
+    # drawing — the per-trial wait_quiet and the gate's sleep budget bound
+    # total added wall time even on an all-noisy host.
+    while len(trials_detail) < max_trials:
+        q2 = _quiet_secs()[:2]
+        if len(q2) >= 2 and q2[1] / q2[0] <= 1.10:
+            break
         _one_trial()
-    trial_secs.sort()
-    rollup_sec = trial_secs[0]
+    # headline = min over quiet trials when any exist (the pipeline's
+    # capability, not the hypervisor's); annotated fallback otherwise
+    trial_secs = sorted(t["sec"] for t in trials_detail)
+    quiet_secs = _quiet_secs()
+    rollup_sec = quiet_secs[0] if quiet_secs else trial_secs[0]
     rollup_median = trial_secs[len(trial_secs) // 2]
     tokens_per_sec = total_tokens / rollup_sec
 
@@ -208,6 +339,7 @@ def main() -> None:
         n_series = int(os.environ.get("SPARK_GRAFT_FEAT_SERIES", "500"))
         fd = token_table(spark, n_series, base_seed=7, mean_len=300, max_len=1000).cache()
         fd.count()
+        gate.wait_quiet(max_wait=90.0)
         feat_secs = []
         for _ in range(max(int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3")), 1)):
             t0 = time.time()
@@ -223,6 +355,8 @@ def main() -> None:
     # single-trial "regressions" in r01->r02 comparisons (all small queries
     # drifting together); min over >=3 draws reads the pipeline, not the VM
     q_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+    if BENCH_QUERIES and qs:
+        gate.wait_quiet(max_wait=90.0)
     query_spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES if qs else []:
         secs = []
@@ -254,6 +388,16 @@ def main() -> None:
                     "sec_median": round(rollup_median, 3),
                     "sec_all": [round(s, 3) for s in trial_secs],
                     "tokens_per_sec_median": int(total_tokens / rollup_median),
+                    # per-trial host-capacity annotation (VERDICT r04 #1):
+                    # quiet = probe >= QUIET_FRAC * pmax at trial start
+                    "trials_detail": trials_detail,
+                    "quiet_trials": len(quiet_secs),
+                    "probe_gate": {
+                        "enabled": gate.enabled,
+                        "pmax": int(gate.pmax),
+                        "quiet_frac": QUIET_FRAC,
+                        "bar": int(gate.bar),
+                    },
                 },
                 "features": feats_stats,
                 "query_trials": q_trials,

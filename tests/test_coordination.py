@@ -103,3 +103,63 @@ def test_run_pair_aborts_when_dev_flag_preexists(qc, monkeypatch):
         lambda *a, **k: pytest.fail("no leg may run while dev owns the cores"))
     assert qc.run_pair("local2", "none", 100, pmax=0.0) is None
     assert qc._test_saves == []
+
+
+# -- probe gate (round 5: VERDICT r04 #1) -----------------------------------
+
+
+def test_probe_gate_units_match_scaling_harness(benchmod):
+    """bench._spin must share units with run_scaling._spin so the pmax
+    accumulated by the scaling harness seeds the bench gate correctly
+    (a unit mismatch silently disables the quiet bar)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import run_scaling
+    finally:
+        sys.path.pop(0)
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    qa, qb = ctx.Queue(), ctx.Queue()
+    pa = ctx.Process(target=benchmod._spin, args=(0.2, qa))
+    pb = ctx.Process(target=run_scaling._spin, args=(0.2, qb))
+    pa.start(); pb.start()
+    ra, rb = qa.get(), qb.get()
+    pa.join(); pb.join()
+    # same loop body + duration on the same host: within 3x of each other
+    # (generous — only a UNIT mismatch, e.g. 1000x, must fail)
+    assert ra > 0 and rb > 0 and max(ra, rb) / min(ra, rb) < 3.0
+
+
+def test_probe_gate_quiet_classification(benchmod, monkeypatch):
+    g = benchmod._ProbeGate.__new__(benchmod._ProbeGate)
+    g.enabled = True
+    g.pmax = 50000.0
+    g.wait_budget = 0.0
+    assert g.is_quiet(46000)       # >= 0.9 * 50k
+    assert not g.is_quiet(44000)   # below the bar
+    assert g.is_quiet(None)        # gating disabled -> trial counts
+    g.pmax = 0.0
+    assert g.is_quiet(10)          # no ceiling known -> never flag
+
+
+def test_probe_gate_disabled_for_trial_children(benchmod, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TRIAL_CHILD", "1")
+    g = benchmod._ProbeGate()
+    assert not g.enabled
+    assert g.wait_quiet() is None  # returns immediately, no probe
+
+
+def test_probe_gate_wait_respects_budgets(benchmod, monkeypatch):
+    g = benchmod._ProbeGate.__new__(benchmod._ProbeGate)
+    g.enabled = True
+    g.pmax = 50000.0
+    g.wait_budget = 100.0
+    calls = []
+    monkeypatch.setattr(benchmod, "_capacity_probe", lambda *a, **k: calls.append(1) or 100.0)
+    slept = []
+    monkeypatch.setattr(benchmod.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setattr(benchmod, "GATE_POLL_SEC", 50.0)
+    p = g.wait_quiet(max_wait=200.0)
+    # noisy forever: budget (100s) binds before max_wait (200s): 2 sleeps
+    assert p == 100.0 and len(slept) == 2 and g.wait_budget <= 0
