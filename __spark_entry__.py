@@ -881,10 +881,12 @@ def dedup_minhash_lsh(spark, sf_dir):
         .where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
                | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
         .select(
-            F.when(F.col("id_a").startswith("copy-"), F.col("id_b"))
-            .otherwise(F.col("id_a")).alias("id_a"),
-            F.when(F.col("id_a").startswith("copy-"), F.col("id_a"))
-            .otherwise(F.col("id_b")).alias("id_b"),
+            # orientation keyed on the EXACT planted relation (ADVICE r04:
+            # a base id that itself starts with 'copy-' must not flip)
+            F.when(F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b")),
+                   F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+            F.when(F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b")),
+                   F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
             "est_jaccard",
             (F.col("ta") == F.col("tb")).alias("texts_equal"),
         )
@@ -911,10 +913,11 @@ def dedup_simhash(spark, sf_dir):
         .where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
                | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
         .select(
-            F.when(F.col("id_a").startswith("copy-"), F.col("id_b"))
-            .otherwise(F.col("id_a")).alias("id_a"),
-            F.when(F.col("id_a").startswith("copy-"), F.col("id_a"))
-            .otherwise(F.col("id_b")).alias("id_b"),
+            # exact planted relation, not a prefix check (ADVICE r04)
+            F.when(F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b")),
+                   F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+            F.when(F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b")),
+                   F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
             F.col("hamming").cast("long").alias("hamming"),
         )
     )

@@ -168,3 +168,36 @@ def test_batch_empty_and_single():
     got = holt_fit_batch([y])
     exp = holt_parameters(y, 1)
     assert _eq(got[0, 0], exp["alpha"]) and _eq(got[0, 1], exp["beta"])
+
+
+def test_garch_degenerate_stage2_tiebreak_matches_scalar(monkeypatch):
+    """ADVICE r04 flagged the batch NaN->inf map as diverging from the
+    scalar path's np.nanargmin on rows mixing NaN and +inf. It does not:
+    numpy's nanargmin itself replaces NaN with +inf before argmin, so BOTH
+    paths resolve a [nan, inf, ..., inf] stage-2 row to index 0. This test
+    pins that degenerate-row parity so neither path drifts."""
+    from tsfeatures_spark.kernels import features as feat
+    from tsfeatures_spark.kernels import fit_batch as fb
+
+    def crafted_row(n_cand):
+        row = np.full(n_cand, 0.0)
+        if n_cand == 13:  # the stage-2 mu profile
+            row = np.full(13, np.inf)
+            row[0] = np.nan  # first slot NaN; every non-NaN is +inf
+        return row
+
+    monkeypatch.setattr(
+        feat, "_garch_negll_candidates",
+        lambda r, mu, om, A, B, var: crafted_row(len(mu)))
+    monkeypatch.setattr(
+        fb, "_garch_negll_batch",
+        lambda R, lens, mu, om, A, B, var: np.tile(
+            crafted_row(mu.shape[1]), (mu.shape[0], 1)))
+
+    rng = np.random.default_rng(3)
+    r = rng.normal(10.0, 2.0, 120)
+    resid_scalar = feat._garch11_resid(r)
+    mu_scalar = float((r - resid_scalar)[0])
+    mu_batch, failed = fb._garch_group([r])
+    assert not failed[0]
+    assert mu_batch[0] == pytest.approx(mu_scalar, abs=0.0)

@@ -408,6 +408,11 @@ def _garch_group(rs: Sequence[np.ndarray]):
             np.broadcast_to(b2[:, None], (S, 13)), var,
         )
         allnan = np.all(np.isnan(ll), axis=1)
+        # NaN->inf + argmin is EXACTLY np.nanargmin's tie-break (numpy
+        # replaces NaN with +inf internally before argmin, so a mixed
+        # [nan, inf, ...] row resolves to the first slot in both paths);
+        # parity with the scalar _garch11_resid's nanargmin is pinned by
+        # tests/test_fit_batch.py::test_garch_degenerate_stage2_tiebreak.
         safe = np.where(np.isnan(ll), np.inf, ll)
         mu_best = mus[rows, np.argmin(safe, axis=1)]
     return mu_best, allnan
