@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import (  # noqa: E402
     KERNEL_REV, PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize,
-    capacity_probe, run_once, write_report,
+    capacity_probe, docs_for, log_probe, run_once, write_report,
 )
 
 TRIAL_FLAG = "/tmp/graft_trial_running"
@@ -68,6 +68,7 @@ FIRE_DECAY_SEC = 1200.0
 # lose the strongest number we have.
 PRIORITY = [
     ("cluster2", "none"), ("local2", "none"),
+    ("cluster2x3", "none"),  # VERDICT r04 #3: 3x-input amortization control
     ("cluster2", "parquet"), ("local2", "parquet"),
     ("local8", "none"), ("local8", "parquet"),
 ]
@@ -78,15 +79,18 @@ def _log(msg: str) -> None:
 
 
 def _state(n_docs: int) -> dict:
-    """(proto, mode) -> (n_quiet, n_pairs, pmax) from the on-disk trials."""
+    """(proto, mode) -> (n_quiet, n_pairs, pmax) from the on-disk trials.
+    n_quiet counts a pair quiet under EITHER bar (absolute or era —
+    run_scaling module comment): the loop's scarce resource is windows,
+    and an era-quiet pair already gives the controlled ratio evidence."""
     out = {}
     for proto in PROTOCOLS:
-        res = _load_prior(proto, n_docs)
-        s = _summarize(res)
+        res = _load_prior(proto, docs_for(proto, n_docs))
+        s = _summarize(res, probe_cores=PROTOCOLS[proto]["arms"][1][1])
         for mode in ("none", "parquet"):
             sm = s["modes"][mode]
             out[(proto, mode)] = (
-                sm["n_quiet"] if sm else 0,
+                max(sm["n_quiet"], sm.get("n_quiet_era", 0)) if sm else 0,
                 sm["n_pairs"] if sm else 0,
                 s["pmax"],
             )
@@ -94,15 +98,16 @@ def _state(n_docs: int) -> dict:
 
 
 def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
-    results = _load_prior(proto, n_docs)
+    docs = docs_for(proto, n_docs)
+    results = _load_prior(proto, docs)
     results[mode].append(pair)
-    s = _summarize(results)
+    s = _summarize(results, probe_cores=PROTOCOLS[proto]["arms"][1][1])
     path = os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"])
     with open(path, "w") as f:
-        json.dump({"n_docs": n_docs, "proto": proto, "results": results,
+        json.dump({"n_docs": docs, "proto": proto, "results": results,
                    "pmax": s["pmax"], "quiet_frac": QUIET_FRAC,
                    "summary": s["modes"]}, f, indent=1)
-    write_report(n_docs, {p: _load_prior(p, n_docs) for p in PROTOCOLS})
+    write_report(n_docs, {p: _load_prior(p, docs_for(p, n_docs)) for p in PROTOCOLS})
 
 
 INTERLEG_WAIT_SEC = 480   # max wait for probe recovery between legs
@@ -122,7 +127,8 @@ def run_pair(proto: str, mode: str, n_docs: int,
     on the trial flag (harmless), so mid-pair checks are not needed."""
     arms = PROTOCOLS[proto]["arms"]
     probe_cores = arms[1][1]
-    pair = {"rev": KERNEL_REV}
+    pair = {"rev": KERNEL_REV, "t": time.time()}
+    docs = docs_for(proto, n_docs)
     open(TRIAL_FLAG, "w").close()
     try:
         if os.path.exists(DEV_FLAG):
@@ -138,6 +144,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
                 (("big", arms[1]), ("small", arms[0]))):
             probe = first_probe if (i == 0 and first_probe is not None) \
                 else capacity_probe(probe_cores)
+            log_probe(probe_cores, probe, tag=f"{proto}/{mode}-leg")
             # Inter-leg recovery wait: the 13:04 near-miss fired on a quiet
             # gate, ran the big leg quiet (46k), then launched the small leg
             # straight into a noise dip (38k) — wasting the whole window. If
@@ -160,6 +167,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
                     time.sleep(INTERLEG_POLL_SEC)
                     waited += INTERLEG_POLL_SEC
                     probe = capacity_probe(probe_cores)
+                    log_probe(probe_cores, probe, tag="interleg")
             # Dev work (incl. the driver's own bench, which now claims the
             # dev flag) arrived since the pair fired: yield the cores and
             # abort unsaved rather than run this leg alongside it — the leg
@@ -168,7 +176,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
                 _log(f"  {proto}/{mode}: dev flag appeared mid-pair; "
                      f"aborting pair unsaved")
                 return None
-            r = run_once(cpus, n_docs, mode, master)
+            r = run_once(cpus, docs, mode, master)
             pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                           "probe": probe, "tokens": r["tokens"]}
             _log(f"  {proto}/{mode} {label}: {r['sec']}s "
@@ -218,6 +226,7 @@ def main() -> None:
                    FIRE_FRAC - FIRE_DECAY_STEP * int(idle / FIRE_DECAY_SEC))
         thr = frac * pmax
         probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
+        log_probe(PROTOCOLS[proto]["arms"][1][1], probe, tag="gate")
         if probe >= thr:
             _log(f"QUIET window for {proto}/{mode}: probe "
                  f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k "

@@ -88,7 +88,23 @@ PROTOCOLS: dict[str, dict] = {
                  "heap/GC/Arrow pool per 2-core executor — the honest "
                  "single-host analog of N executors vs 4N executors"),
     },
+    # VERDICT r04 #3: the r4b kernel halved compute walls, so fixed per-job
+    # overhead (~1.1-1.5s) and probe-to-leg noise weigh ~2x more in the
+    # cluster2 ratio. Same arms at 3x the input amortize both; reported
+    # side by side with the 20k-doc rows, never merged.
+    "cluster2x3": {
+        "arms": (("local-cluster[2,2,4096]", 4, "local-cluster[2,2,4096]"),
+                 ("local-cluster[8,2,4096]", 16, "local-cluster[8,2,4096]")),
+        "file": "scaling_trials_cluster2_60k.json",
+        "docs_mult": 3,
+        "desc": ("cluster2 arms at 3x the input (overhead-amortization "
+                 "control: same kernel, same JVM shape, 3x compute per job)"),
+    },
 }
+
+
+def docs_for(proto: str, n_docs: int) -> int:
+    return n_docs * PROTOCOLS[proto].get("docs_mult", 1)
 
 
 def _spin(dur: float, q) -> None:
@@ -170,8 +186,10 @@ def _load_prior(proto: str, n_docs: int) -> dict:
                 # round-2 local2 files keyed pairs by cpu count ("2"/"8");
                 # new files key by arm role
                 if "small" in p:
-                    out[m].append({"small": p["small"], "big": p["big"],
-                                   "rev": rev})
+                    rec = {"small": p["small"], "big": p["big"], "rev": rev}
+                    if "t" in p:  # timestamped (round 5+): era-scoreable
+                        rec["t"] = p["t"]
+                    out[m].append(rec)
                 else:
                     ks = sorted(int(k) for k in p if k != "rev")
                     out[m].append({"small": p[str(ks[0])], "big": p[str(ks[1])],
@@ -248,7 +266,60 @@ DRIVER_PROTOCOL = {"min_sec": 5.745, "median_sec": 7.382,
                    "min_tps": 10_387_969, "median_tps": 8_083_547}
 
 
-def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
+# -- probe history + era-relative quiet bar (round 5) -----------------------
+# The absolute quiet bar (QUIET_FRAC * pmax, pmax = best probe EVER seen)
+# assumes the host returns to its best era. Round 4 showed it may not:
+# pmax was set in a morning window (49.3k @16 cores) and the rest of the
+# session peaked ~46k — so zero pairs could ever score "quiet" no matter
+# how controlled the measurement. The probe measures the HOST, and a
+# scaling RATIO needs both arms under the same host conditions — conditions
+# matching a different hour's era add nothing. The era bar scores a pair
+# against the best probe observed within +-ERA_HALF_WINDOW of the pair
+# itself (from probe_history.jsonl, which the capture loop appends every
+# gate/inter-leg probe to). Both bars are always reported side by side,
+# labeled; era-quiet is never silently promoted to absolute-quiet.
+PROBE_HISTORY = os.path.join(REPO, "BENCH", "probe_history.jsonl")
+ERA_HALF_WINDOW = 3 * 3600.0
+
+
+def log_probe(cores: int, probe: float, tag: str = "") -> None:
+    try:
+        with open(PROBE_HISTORY, "a") as f:
+            f.write(json.dumps({"t": time.time(), "cores": cores,
+                                "probe": probe, "tag": tag}) + "\n")
+    except OSError:
+        pass
+
+
+def _load_probe_history() -> list[dict]:
+    if not os.path.exists(PROBE_HISTORY):
+        return []
+    out = []
+    with open(PROBE_HISTORY) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+    return out
+
+
+def _era_pmax(t: float, cores: int, history: list[dict],
+              pair_probes: list[tuple[float, float]] = ()) -> float:
+    """Best host-capacity probe (same probe shape: ``cores``) observed
+    within +-ERA_HALF_WINDOW of ``t`` — the contemporaneous ceiling.
+    ``pair_probes``: extra (t, probe) points from recorded pairs."""
+    lo, hi = t - ERA_HALF_WINDOW, t + ERA_HALF_WINDOW
+    vals = [h["probe"] for h in history
+            if h.get("cores") == cores and lo <= h.get("t", -1) <= hi]
+    vals += [p for (tt, p) in pair_probes if lo <= tt <= hi]
+    return max(vals, default=0.0)
+
+
+def _summarize(results: dict, rev: str = KERNEL_REV,
+               probe_cores: int | None = None) -> dict:
     """Per mode: best arm walls, min-wall efficiency, best quiet pair.
 
     pmax (the session-best host-capacity probe, the quiet bar) is computed
@@ -263,6 +334,10 @@ def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
     pmax = max((p[role]["probe"] for m in results for p in results[m]
                 for role in ("small", "big")),
                default=0.0)
+    history = _load_probe_history() if probe_cores else []
+    # every recorded pair leg is itself a probe observation for era ceilings
+    pair_pts = [(p["t"], p[role]["probe"]) for m in results for p in results[m]
+                if "t" in p for role in ("small", "big")]
     summary = {"pmax": pmax, "modes": {}}
     for m in ("none", "parquet"):
         # untagged pairs are ALWAYS legacy (pre-tagging): defaulting them
@@ -294,12 +369,32 @@ def _summarize(results: dict, rev: str = KERNEL_REV) -> dict:
         if qs and qb:
             eff_qarms = (min(qb, key=lambda d: d["sec"])["tps"]
                          / min(qs, key=lambda d: d["sec"])["tps"]) / 4.0
+        # era-relative quiet: both arms >= QUIET_FRAC of the best probe seen
+        # within +-3h of the pair (see module comment above log_probe) —
+        # requires timestamped pairs (round 5+) and a probe_cores hint
+        qp_era: list[tuple[dict, float]] = []
+        if probe_cores:
+            for p in pairs:
+                if "t" not in p:
+                    continue
+                ep = _era_pmax(p["t"], probe_cores, history, pair_pts)
+                if ep > 0 and min(p["small"]["probe"], p["big"]["probe"]) >= QUIET_FRAC * ep:
+                    qp_era.append((p, ep))
+        eff_quiet_era = None
+        era_frac_of_best = None
+        if qp_era:
+            best_p, best_ep = max(qp_era,
+                                  key=lambda pe: (pe[0]["big"]["tps"] / pe[0]["small"]["tps"]))
+            eff_quiet_era = (best_p["big"]["tps"] / best_p["small"]["tps"]) / 4.0
+            era_frac_of_best = best_ep / pmax if pmax else None
         summary["modes"][m] = {
             "best_small": bs, "best_big": bb,
             "eff_min": (bb["tps"] / bs["tps"]) / 4.0,
             "eff_quiet": eff_quiet, "n_quiet": len(qp), "n_pairs": len(pairs),
             "eff_qarms": eff_qarms,
             "n_quiet_small": len(qs), "n_quiet_big": len(qb),
+            "eff_quiet_era": eff_quiet_era, "n_quiet_era": len(qp_era),
+            "era_frac_of_best": era_frac_of_best,
         }
     return summary
 
@@ -308,7 +403,7 @@ def _fmt_eff(v) -> str:
     return "—" if v is None else f"{v:.3f}"
 
 
-BAND_FLOORS = (0.93, 0.89, 0.85)
+BAND_FLOORS = (0.93, 0.89, 0.85, 0.80, 0.75)
 
 
 def _band_rows(all_results: dict[str, dict]) -> list[str]:
@@ -443,7 +538,7 @@ def write_report(n_docs: int, all_results: dict[str, dict]) -> None:
         if not any(res[m] for m in ("none", "parquet")):
             continue
         arms = PROTOCOLS[proto]["arms"]
-        s = _summarize(res)
+        s = _summarize(res, probe_cores=arms[1][1])
         summaries[proto] = s
         rows = []
         for m in ("none", "parquet"):
@@ -472,7 +567,10 @@ Efficiency: **{sm['eff_min']:.3f} (min-wall)**, **{_fmt_eff(sm['eff_quiet'])}
 (best quiet pair, n={sm['n_quiet']} of {sm['n_pairs']})**,
 **{_fmt_eff(sm.get('eff_qarms'))} (quiet arms: best of
 {sm.get('n_quiet_small', 0)} quiet small / {sm.get('n_quiet_big', 0)}
-quiet big, cross-pair)**.
+quiet big, cross-pair)**,
+**{_fmt_eff(sm.get('eff_quiet_era'))} (best ERA-quiet pair, n={sm.get('n_quiet_era', 0)};
+era ceiling of best = {_fmt_eff(sm.get('era_frac_of_best'))}·pmax — see
+"Era-relative quiet bar" below)**.
 """)
         proto_sections.append(f"""## Protocol `{proto}`: {arms[0][0]} (N) vs {arms[1][0]} (4N)
 
@@ -501,12 +599,13 @@ quiet big, cross-pair)**.
                 r = p.get("rev", "legacy")
                 if r not in revs_present:
                     revs_present.append(r)
-    matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | eff (quiet arms, cross-pair) | quiet pairs (quiet small/big arms) |",
-              "|---|---|---|---|---|---|---|"]
+    matrix = ["| protocol | kernel | phase | eff (min-wall) | eff (best quiet pair) | eff (quiet arms, cross-pair) | eff (best era-quiet pair) | quiet pairs (quiet small/big arms; era-quiet) |",
+              "|---|---|---|---|---|---|---|---|"]
     for rev in revs_present:
         tag = "pre-r4 (r2/r3)" if rev == "legacy" else rev
         for proto, res in all_results.items():
-            s = _summarize(res, rev=rev)
+            s = _summarize(res, rev=rev,
+                           probe_cores=PROTOCOLS[proto]["arms"][1][1])
             for m, ph in (("none", "compute"), ("parquet", "e2e")):
                 sm = s["modes"][m]
                 if sm:
@@ -514,8 +613,10 @@ quiet big, cross-pair)**.
                         f"| {proto} | {tag} | {ph} | {sm['eff_min']:.3f} "
                         f"| {_fmt_eff(sm['eff_quiet'])} "
                         f"| {_fmt_eff(sm.get('eff_qarms'))} "
+                        f"| {_fmt_eff(sm.get('eff_quiet_era'))} "
                         f"| {sm['n_quiet']}/{sm['n_pairs']} "
-                        f"({sm.get('n_quiet_small', 0)}s/{sm.get('n_quiet_big', 0)}b) |")
+                        f"({sm.get('n_quiet_small', 0)}s/{sm.get('n_quiet_big', 0)}b; "
+                        f"{sm.get('n_quiet_era', 0)} era) |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -603,6 +704,22 @@ so end-to-end on real hardware tracks the compute figure.
 
 {os.linesep.join(matrix)}
 
+### Era-relative quiet bar (round 5)
+
+The absolute quiet bar ({QUIET_FRAC} · pmax, pmax = best probe EVER
+recorded for the protocol's probe shape) assumes the host returns to its
+best-era capacity. Round 4 showed it may not: cluster2's pmax (49.3k)
+was set in one morning window and probes peaked ~46k for the rest of the
+session, so NO pair could score quiet regardless of how controlled the
+measurement was. The probe measures the HOST, not the engine, and a
+scaling ratio needs both arms under the SAME host conditions — matching
+a different hour's era adds no control. An **era-quiet** pair has both
+arm probes >= {QUIET_FRAC} · (best probe observed within ±3 h of the
+pair, from BENCH/probe_history.jsonl + recorded pair legs). Each
+era-quiet figure is labeled with its era ceiling as a fraction of pmax
+so a low-capacity era can never masquerade as a best-era measurement;
+the absolute bar stays reported beside it, never replaced.
+
 ### Probe-floor bands (compute phase, current kernel)
 
 {os.linesep.join(_band_rows(all_results))}
@@ -662,15 +779,17 @@ def main() -> None:
     modes = _parse_csv_env("SPARK_GRAFT_SCALE_MODES", ("none", "parquet"), "none,parquet")
 
     for proto in protos:
-        results = _load_prior(proto, n_docs)
+        docs = docs_for(proto, n_docs)
+        results = _load_prior(proto, docs)
         arms = PROTOCOLS[proto]["arms"]
         probe_cores = arms[1][1]
         for mode in modes:
             for t in range(trials):
-                pair = {"rev": KERNEL_REV}
+                pair = {"rev": KERNEL_REV, "t": time.time()}
                 for role, (label, cpus, master) in zip(("small", "big"), arms):
                     probe = capacity_probe(probe_cores)
-                    r = run_once(cpus, n_docs, mode, master)
+                    log_probe(probe_cores, probe, tag=f"{proto}-leg")
+                    r = run_once(cpus, docs, mode, master)
                     pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                                   "probe": probe, "tokens": r["tokens"]}
                     print(f"[{proto}/{mode}] trial {t} {label}: {r['sec']}s "
@@ -679,11 +798,11 @@ def main() -> None:
                 results[mode].append(pair)
         s = _summarize(results)
         with open(os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"]), "w") as f:
-            json.dump({"n_docs": n_docs, "proto": proto, "results": results,
+            json.dump({"n_docs": docs, "proto": proto, "results": results,
                        "pmax": s["pmax"], "quiet_frac": QUIET_FRAC,
                        "summary": s["modes"]}, f, indent=1)
 
-    all_results = {p: _load_prior(p, n_docs) for p in PROTOCOLS}
+    all_results = {p: _load_prior(p, docs_for(p, n_docs)) for p in PROTOCOLS}
     for proto, res in all_results.items():
         s = _summarize(res)
         for m in ("none", "parquet"):
