@@ -278,11 +278,16 @@ def main() -> None:
     gate = _ProbeGate()
     trials_detail: list[dict] = []
 
+    # skew-split evidence knob (default = the shipped unsplit path; the
+    # generator's lognormal tail at bench scale has no 10^7-token doc, so
+    # the split is exercised via tools/bench_split_giant.py's planted doc)
+    split_giant = int(os.environ.get("SPARK_GRAFT_SPLIT_GIANT", "0")) or None
+
     def _one_trial() -> None:
         probe = gate.wait_quiet(max_wait=60.0)
         shutil.rmtree(out_path, ignore_errors=True)
         t0 = time.time()
-        r = rollup_tiers(toks)
+        r = rollup_tiers(toks, split_giant_tok=split_giant)
         if sink == "none":
             r.count()
         else:

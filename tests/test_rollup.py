@@ -185,24 +185,49 @@ def test_features_wide_spark_matches_kernels(spark):
             assert (np.isnan(g) and np.isnan(v)) or np.isclose(g, v, rtol=1e-12, atol=1e-12), (doc, k)
 
 
-def test_rollup_arrow_path_identical_to_pandas_path(spark):
-    """The mapInArrow cascade (zero-copy in, RecordBatch out) must be
-    row-identical to the mapInPandas path — every column including the
-    compressed blocks and digests."""
+def test_split_giant_spreads_cost(spark):
+    """The straggler cap must actually redistribute work: posexplode alone
+    leaves every segment of a giant doc in the parent's input partition,
+    so one task still carries the whole doc (round-5 fix). Pin (a) the
+    rollup_tiers split plan shuffles ONLY the giant branch, and (b) the
+    segments of one giant doc land across multiple partitions with
+    bounded per-partition cost."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     from tsfeatures_spark.operators.rollup import rollup_tiers
+    from tsfeatures_spark.operators.skew import DAY, split_giant_docs
     from tsfeatures_spark.sources.generator import token_table
 
-    toks = token_table(spark, 30, base_seed=9, partitions=4, mean_len=900)
-    a = rollup_tiers(toks, arrow=True).toPandas()
-    b = rollup_tiers(toks, arrow=False).toPandas()
-    key = ["tier", "doc_id", "window_id"]
-    a = a.sort_values(key).reset_index(drop=True)
-    b = b.sort_values(key).reset_index(drop=True)
-    assert list(a.columns) == list(b.columns)
-    for c in a.columns:
-        if c == "block":
-            assert all(x == y for x, y in zip(a[c], b[c])), c
-        else:
-            import pandas as pd
+    small = token_table(spark, 20, base_seed=5, partitions=2, mean_len=500)
+    rng = np.random.default_rng(11)
+    giant_toks = rng.integers(0, 5000, size=8 * DAY).astype(np.int32)
+    giant = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["giant-0"], "tokens": [giant_toks],
+        "n_tok": [len(giant_toks)], "source": ["web"],
+    }))
+    df = small.unionByName(giant.select(small.columns)).coalesce(1)
 
-            pd.testing.assert_series_equal(a[c], b[c], check_names=False, obj=c)
+    plan = (rollup_tiers(df, split_giant_tok=DAY)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exactly one Exchange: the hash repartition of the giant segments;
+    # the small-doc branch stays shuffle-free
+    assert plan.count("Exchange") == 1 and "hashpartitioning(doc_id" in plan
+
+    seg = split_giant_docs(df.where(F.col("n_tok") > DAY), max_tok=DAY) \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id", "seg_id")
+    per_part = (seg.select(F.spark_partition_id().alias("pid"), "n_tok")
+                .groupBy("pid").agg(F.sum("n_tok").alias("cost")).toPandas())
+    # 8 day-segments spread over several tasks; hash collisions may stack
+    # a few segments, but no task may carry anywhere near the whole doc
+    assert len(per_part) >= 3
+    assert per_part["cost"].max() <= len(giant_toks) // 2
+
+    # row identity vs the unsplit computation still holds through the
+    # union path (complements test_operators.py's identity check)
+    cols = ["tier", "doc_id", "window_id", "mean", "variance", "block_digest"]
+    a = (rollup_tiers(df, split_giant_tok=DAY).select(cols).toPandas()
+         .sort_values(cols[:3]).reset_index(drop=True))
+    b = (rollup_tiers(df).select(cols).toPandas()
+         .sort_values(cols[:3]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

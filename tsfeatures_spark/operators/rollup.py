@@ -328,98 +328,19 @@ def rollup_doc(doc_id: str, source: str, tokens: np.ndarray,
     return results
 
 
-def _arrow_schema():
-    import pyarrow as pa
-
-    return pa.schema([
-        ("tier", pa.string()), ("doc_id", pa.string()), ("source", pa.string()),
-        ("window_id", pa.int64()), ("n", pa.int32()),
-        ("total_sum", pa.float64()), ("vmin", pa.float64()), ("vmax", pa.float64()),
-        ("mean", pa.float64()), ("m2", pa.float64()), ("variance", pa.float64()),
-        ("x_acf1", pa.float64()), ("x_acf10", pa.float64()),
-        ("crossing_points", pa.float64()), ("flat_spots", pa.float64()),
-        ("entropy", pa.float64()), ("stability", pa.float64()),
-        ("lumpiness", pa.float64()), ("block", pa.binary()),
-        ("block_digest", pa.string()),
-    ])
-
-
-def _rollup_arrow(df, tiers: List[str], out_cols: List[str]):
-    """mapInArrow variant of the cascade: token arrays are sliced ZERO-COPY
-    out of the Arrow list buffers (no pandas Series-of-ndarray
-    materialization on the way in) and results are emitted as RecordBatches
-    built directly from the numpy column accumulators (no pandas block
-    consolidation / dtype inference on the way out). Row-identical to the
-    mapInPandas path (pinned by tests)."""
-    import pyarrow as pa
-
-    schema_pa = _arrow_schema()
-    float_cols = ["total_sum", "vmin", "vmax", "mean", "m2", "variance",
-                  "x_acf1", "x_acf10", "crossing_points", "flat_spots",
-                  "entropy", "stability", "lumpiness"]
-
-    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import warnings
-        from itertools import chain
-
-        warnings.filterwarnings("ignore")
-        np.seterr(all="ignore")
-        acc: dict[str, list] = {c: [] for c in out_cols}
-        n_acc = 0
-
-        def flush():
-            arrays = []
-            for c in out_cols:
-                if c == "block":
-                    arrays.append(pa.array(list(chain.from_iterable(acc[c])), type=pa.binary()))
-                elif c in ("tier", "doc_id", "source", "block_digest"):
-                    arrays.append(pa.array(list(chain.from_iterable(acc[c])), type=pa.string()))
-                elif c == "window_id":
-                    arrays.append(pa.array(np.concatenate(acc[c]).astype(np.int64), type=pa.int64()))
-                elif c == "n":
-                    arrays.append(pa.array(np.concatenate(acc[c]).astype(np.int32), type=pa.int32()))
-                else:
-                    arrays.append(pa.array(np.concatenate(acc[c]).astype(np.float64), type=pa.float64()))
-            return pa.RecordBatch.from_arrays(arrays, schema=schema_pa)
-
-        for batch in batches:
-            names = batch.schema.names
-            doc_arr = batch.column(names.index("doc_id")).to_pylist()
-            src_arr = (batch.column(names.index("source")).to_pylist()
-                       if "source" in names else [""] * batch.num_rows)
-            toks_col = batch.column(names.index("tokens"))
-            offs = toks_col.offsets.to_numpy(zero_copy_only=False)
-            flat = toks_col.values.to_numpy(zero_copy_only=False)
-            for i in range(batch.num_rows):
-                toks = flat[offs[i]: offs[i + 1]]
-                per_tier = rollup_doc(doc_arr[i], src_arr[i], toks, tiers)
-                for tier in tiers:
-                    cols = per_tier[tier]
-                    for c in out_cols:
-                        acc[c].append(cols[c])
-                    n_acc += len(cols["window_id"])
-                if n_acc >= 4096:
-                    yield flush()
-                    acc = {c: [] for c in out_cols}
-                    n_acc = 0
-        if n_acc:
-            yield flush()
-
-    cols = df.columns
-    needed = [c for c in ("doc_id", "tokens", "source") if c in cols]
-    return df.select(*needed).mapInArrow(run, schema=ROLLUP_SCHEMA)
-
-
 def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64,
                  split_giant_tok: int | None = None, arrow: bool = False):
-    """raw token table -> all-tier rollup DataFrame in ONE mapInPandas /
-    mapInArrow scan (no shuffle; AQE/Catalyst see Scan -> MapInPandas).
+    """raw token table -> all-tier rollup DataFrame in ONE mapInPandas
+    scan (no shuffle; AQE/Catalyst see Scan -> MapInPandas).
 
-    ``arrow=True`` slices token arrays zero-copy from the Arrow buffers
-    and emits RecordBatches directly (row-identical, pinned by tests).
-    Measured interleaved A/B at local[8]/20k docs: medians 20.3s arrow vs
-    21.1s pandas — inside host noise, because rollup_doc compute dominates
-    the transfer — so the battle-tested pandas path stays the default.
+    A mapInArrow twin (zero-copy token slicing, RecordBatch emission) was
+    A/B'd and DELETED (round 5): interleaved runs read pandas at or ahead
+    of arrow at BOTH local[8]/20k docs (medians 21.1s vs 20.3s, within
+    noise) and local[32]/15k docs (min 4.00s vs 4.10s, median 4.01s vs
+    4.97s — BENCH/ab_arrow.json), because rollup_doc compute dominates
+    transfer at every width; ``arrow`` is accepted for API compatibility
+    and ignored. git history (round 4) has the variant if transfer ever
+    becomes the bottleneck.
 
     ``split_giant_tok``: docs longer than this are pre-split into
     day-aligned segments (operators/skew.py) so a single pathological doc
@@ -431,11 +352,27 @@ def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64,
     if split_giant_tok is not None:
         from .skew import split_giant_docs
 
-        seg = split_giant_docs(df, max_tok=split_giant_tok)
-        return _rollup_segments(seg, tiers, out_cols)
+        # Small docs keep the zero-shuffle plain path; ONLY giant docs are
+        # split AND their segments hash-repartitioned across tasks — the
+        # whole point of the split is that one pathological doc must not
+        # pin one task, and posexplode alone leaves every segment in the
+        # parent's input partition (round-5 fix; pinned by
+        # tests/test_rollup.py::test_split_giant_spreads_cost). The shuffle
+        # carries only the giant rows (a vanishing fraction at any scale).
+        from pyspark.sql import functions as F
 
-    if arrow:
-        return _rollup_arrow(df, tiers, out_cols)
+        small = df.where(F.col("n_tok") <= int(split_giant_tok))
+        big = df.where(F.col("n_tok") > int(split_giant_tok))
+        # explicit partition count: an unnumbered repartition(cols) is an
+        # AQE-coalescible exchange, and AQE coalesces by BYTES — segments
+        # are expensive by CPU, not bytes, so coalescing would re-fuse the
+        # straggler the split exists to break. A user-specified count is
+        # exempt from AQE coalescing.
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        seg = split_giant_docs(big, max_tok=split_giant_tok).repartition(
+            n_part, "doc_id", "seg_id")
+        out_small = rollup_tiers(small, tiers, batch_docs, None, arrow)
+        return out_small.unionByName(_rollup_segments(seg, tiers, out_cols))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings
