@@ -1125,6 +1125,10 @@ def tok_rollup_1m_windows(spark, sf_dir):
         F.col("flat_spots").alias("flat_spots"),
         _r(F.col("stability"), 5).alias("stability"),
         _r(F.col("lumpiness"), 5).alias("lumpiness"),
+        # round 5: the rfft spectral entropy was the last gated-query
+        # kernel with no SQL mirror; DuckDB lambdas express the W=60 DFT
+        # directly (prototype parity 1e-15 vs np.fft.rfft)
+        _r(nan2null(F.col("entropy")), 6).alias("entropy"),
     )
 
 
@@ -1372,6 +1376,34 @@ def _tok_rollup_1m_oracle() -> str:
             select tlv.doc_id, tlv.window_id,
                    sum((tlv.tvar - vg.mv)*(tlv.tvar - vg.mv))/5.0 as lumpiness
             from tlv join vg using (doc_id, window_id) group by 1, 2
+        ),
+        -- spectral entropy: |DFT_k(d)|^2/60 for k=0..30 (bins 1..29 doubled,
+        -- one-sided even-W periodogram), normalized Shannon entropy over the
+        -- 31 bins -- term-for-term the engine's rfft path
+        -- (operators/rollup.py:window_features_matrix); d is demeaned so
+        -- bin 0 is exactly 0 and a constant window (tot = 0) yields null
+        dlist as (
+            select doc_id, window_id, list(d order by tpos) as ds
+            from xd group by 1, 2
+        ),
+        spec as (
+            select doc_id, window_id, list_transform(range(0, 31), k -> (
+                  power(list_sum(list_transform(range(0, 60),
+                        t -> ds[t+1] * cos(2*pi()*k*t/60.0))), 2)
+                + power(list_sum(list_transform(range(0, 60),
+                        t -> ds[t+1] * sin(2*pi()*k*t/60.0))), 2)
+              ) / 60.0 * (case when k = 0 or k = 30 then 1.0 else 2.0 end)) as sp
+            from dlist
+        ),
+        spec2 as (select doc_id, window_id, sp, list_sum(sp) as tot from spec),
+        entv as (
+            select doc_id, window_id,
+                   case when tot > 0 then
+                     -(list_sum(list_transform(sp, v ->
+                         case when v > 0 then (v/tot)*log2(v/tot) else 0 end)))
+                     / log2(31.0)
+                   else null end as entropy
+            from spec2
         )
         select st.doc_id, st.window_id, st.n, st.total_sum, st.vmin, st.vmax,
                round(st.mean + 0.000001, 6) as mean,
@@ -1383,12 +1415,14 @@ def _tok_rollup_1m_oracle() -> str:
                cast(agg.crossings as double) as crossing_points,
                cast(fs.flat_spots as double) as flat_spots,
                round(stab.stability + 0.000001, 5) as stability,
-               round(lum.lumpiness + 0.000001, 5) as lumpiness
+               round(lum.lumpiness + 0.000001, 5) as lumpiness,
+               round(entv.entropy + 0.000001, 6) as entropy
         from st
         join agg using (doc_id, window_id)
         join fs using (doc_id, window_id)
         join stab using (doc_id, window_id)
         join lum using (doc_id, window_id)
+        join entv using (doc_id, window_id)
     """
 
 
