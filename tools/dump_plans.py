@@ -36,6 +36,16 @@ def _embdup_plan(spark, sf):
     return embedding_dup_pairs(e, threshold=0.9, dim=64)
 
 
+def _pack_plan(spark):
+    from tsfeatures_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i, ("web", "books")[i % 2], 100 + i) for i in range(64)],
+        "doc_id string, seq long, source string, n_tok int",
+    )
+    return pack_sequences(df, budget=512, order_col="seq", n_buckets=8)
+
+
 def main() -> None:
     from tsfeatures_spark.operators.features import features_wide
     from tsfeatures_spark.operators.rollup import merge_algebraic, rollup_tiers
@@ -92,6 +102,18 @@ def main() -> None:
          "side only; the corpus join key remains the single bucket id — "
          "no cartesian, probe_bits+1 scan width.",
          em.emb_ann_lsh_probe2(spark, sf)),
+        ("rollup_tiers(split_giant_tok) — one Exchange, giant branch only",
+         "Small docs keep the shuffle-free cascade; only docs over the cap "
+         "are day-split and their segments hash-repartitioned with an "
+         "explicit count (exempt from AQE byte-based coalescing) so one "
+         "pathological doc cannot pin a task (round-5 fix; planted "
+         "10^7-token doc 14.8s -> 5.4s, BENCH/split_giant_bench.json).",
+         rollup_tiers(toks, split_giant_tok=4 * 86400)),
+        ("pack_sequences — cached single scan, bucketed windows",
+         "Pass 2 reads the persisted 3-column projection "
+         "(InMemoryTableScan); the only Window is partitioned by "
+         "(key, bucket) — never SinglePartition.",
+         _pack_plan(spark)),
     ]
     out = ["# PLANS — physical-plan evidence for the key operators",
            "", "Generated by tools/dump_plans.py (explain 'formatted').", ""]
