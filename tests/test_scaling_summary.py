@@ -1,0 +1,81 @@
+"""Era-relative quiet scoring in the scaling harness (round 5):
+_era_pmax must read only same-shape probes inside the window, and
+_summarize must label pairs era-quiet only when BOTH arms clear
+QUIET_FRAC of the contemporaneous ceiling. Pure-python, no Spark."""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import run_scaling as rs  # noqa: E402
+
+T0 = 1_000_000_000.0
+
+
+def _pair(t, ps, pb, sec_s=40.0, sec_b=10.0):
+    return {"rev": rs.KERNEL_REV, "t": t,
+            "small": {"sec": sec_s, "tps": 1e6 * 40 / sec_s, "probe": ps,
+                      "tokens": 40_000_000},
+            "big": {"sec": sec_b, "tps": 1e6 * 40 / sec_b, "probe": pb,
+                    "tokens": 40_000_000}}
+
+
+def test_era_pmax_windows_and_cores():
+    hist = [
+        {"t": T0, "cores": 16, "probe": 50000.0},
+        {"t": T0 + 100, "cores": 8, "probe": 90000.0},   # wrong shape
+        {"t": T0 + 5 * 3600, "cores": 16, "probe": 70000.0},  # outside +-3h
+    ]
+    assert rs._era_pmax(T0 + 60, 16, hist) == 50000.0
+    assert rs._era_pmax(T0 + 60, 16, hist,
+                        pair_probes=[(T0 + 30, 52000.0)]) == 52000.0
+    assert rs._era_pmax(T0 + 60, 32, hist) == 0.0
+
+
+def test_summarize_era_quiet_labeling(monkeypatch, tmp_path):
+    # history: era ceiling 46k around T0; pmax on disk is a stale 49.3k
+    hist_file = tmp_path / "hist.jsonl"
+    with open(hist_file, "w") as f:
+        f.write(json.dumps({"t": T0, "cores": 16, "probe": 46000.0}) + "\n")
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(hist_file))
+
+    quiet_pair = _pair(T0 + 600, 43000.0, 44000.0)   # both >= .93*46k=42.78k
+    noisy_pair = _pair(T0 + 700, 30000.0, 45000.0)   # small arm noisy
+    stale = _pair(T0 + 800, 49300.0, 49300.0)
+    stale.pop("t")                                    # untimestamped legacy
+    stale["rev"] = "legacy"
+    results = {"none": [quiet_pair, noisy_pair, stale], "parquet": []}
+
+    s = rs._summarize(results, probe_cores=16)
+    sm = s["modes"]["none"]
+    # absolute bar: pmax = 49.3k (stale pair), bar 45.85k -> nothing quiet
+    assert s["pmax"] == 49300.0 and sm["n_quiet"] == 0
+    # era bar: ceiling 46k -> exactly the controlled pair qualifies
+    assert sm["n_quiet_era"] == 1
+    assert sm["eff_quiet_era"] == pytest.approx(40.0 / (4 * 10.0))
+    assert sm["era_frac_of_best"] == pytest.approx(46000.0 / 49300.0)
+    # no probe_cores hint -> era fields stay empty, absolute bar unchanged
+    s2 = rs._summarize(results)
+    assert s2["modes"]["none"]["n_quiet_era"] == 0
+
+
+def test_summarize_era_needs_positive_ceiling(monkeypatch, tmp_path):
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(tmp_path / "none.jsonl"))
+    lone = _pair(T0, 30000.0, 30500.0)
+    s = rs._summarize({"none": [lone], "parquet": []}, probe_cores=16)
+    # the pair's own legs are era evidence: ceiling 30.5k, both arms within
+    # 7% of it -> era-quiet (self-consistent pair), labeled with its low
+    # era fraction so it can't masquerade as a best-era measurement
+    sm = s["modes"]["none"]
+    assert sm["n_quiet_era"] == 1
+    assert sm["era_frac_of_best"] == pytest.approx(1.0)
+
+
+def test_docs_for_multiplier():
+    assert rs.docs_for("cluster2", 20000) == 20000
+    assert rs.docs_for("cluster2x3", 20000) == 60000
