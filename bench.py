@@ -344,17 +344,37 @@ def main() -> None:
         n_series = int(os.environ.get("SPARK_GRAFT_FEAT_SERIES", "500"))
         fd = token_table(spark, n_series, base_seed=7, mean_len=300, max_len=1000).cache()
         fd.count()
-        gate.wait_quiet(max_wait=90.0)
-        feat_secs = []
-        for _ in range(max(int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3")), 1)):
+        # the second headline (reference-API throughput) gets the same
+        # quiet-pick treatment as the rollup: per-trial probe, draw extra
+        # trials (bounded) until one lands in a quiet window, report the
+        # quiet min. Re-arm a small sleep budget in case the rollup phase
+        # consumed the global one during a noise stretch.
+        gate.wait_budget = max(gate.wait_budget, 120.0)
+        feat_detail: list[dict] = []
+        base_ft = max(int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3")), 1)
+        max_ft = int(os.environ.get("SPARK_GRAFT_FEAT_MAX_TRIALS", "6"))
+        while len(feat_detail) < max(base_ft, 1):
+            p = gate.wait_quiet(max_wait=45.0)
             t0 = time.time()
             features_wide(fd, scale=True, freq=24).count()
-            feat_secs.append(round(time.time() - t0, 3))
-        feat_secs.sort()
-        feats_sec = feat_secs[0]
+            feat_detail.append({"sec": round(time.time() - t0, 3),
+                                "probe": None if p is None else int(p),
+                                "quiet": gate.is_quiet(p)})
+        while (not any(t["quiet"] for t in feat_detail)
+               and len(feat_detail) < max_ft and gate.enabled):
+            p = gate.wait_quiet(max_wait=45.0)
+            t0 = time.time()
+            features_wide(fd, scale=True, freq=24).count()
+            feat_detail.append({"sec": round(time.time() - t0, 3),
+                                "probe": None if p is None else int(p),
+                                "quiet": gate.is_quiet(p)})
+        feat_secs = sorted(t["sec"] for t in feat_detail)
+        quiet_ft = sorted(t["sec"] for t in feat_detail if t["quiet"])
+        feats_sec = quiet_ft[0] if quiet_ft else feat_secs[0]
         timings["feats_default_set"] = feats_sec
         feats_stats = {"n_series": n_series, "series_per_sec": round(n_series / feats_sec, 1),
-                       "sec_all": feat_secs}
+                       "sec_all": feat_secs, "trials_detail": feat_detail,
+                       "quiet_trials": len(quiet_ft)}
         fd.unpersist()
     # min-of-N per query: this host's steal noise produced phantom
     # single-trial "regressions" in r01->r02 comparisons (all small queries
