@@ -63,6 +63,7 @@ TRIAL_POLL_SEC = 10.0
 # trial corroborates the min. The headline is min over QUIET trials when
 # any exist; every trial carries its probe in rollup.trials_detail.
 PROBE_CORES = int(os.environ.get("SPARK_GRAFT_PROBE_CORES", "16"))
+PROBE_HISTORY_PATH = os.path.join(REPO, "BENCH", "probe_history.jsonl")
 PROBE_DUR = 1.2
 QUIET_FRAC = float(os.environ.get("SPARK_GRAFT_QUIET_FRAC", "0.90"))
 GATE_WAIT_BUDGET = float(os.environ.get("SPARK_GRAFT_GATE_BUDGET", "420"))
@@ -132,6 +133,15 @@ class _ProbeGate:
     def probe(self) -> float:
         p = _capacity_probe()
         self.pmax = max(self.pmax, p)
+        # every probe is a host observation: append it to the shared
+        # history so the scaling harness's era-relative quiet bar sees the
+        # same ceiling evidence the bench saw (same shape: PROBE_CORES)
+        try:
+            with open(PROBE_HISTORY_PATH, "a") as f:
+                f.write(json.dumps({"t": time.time(), "cores": PROBE_CORES,
+                                    "probe": p, "tag": "bench-gate"}) + "\n")
+        except OSError:
+            pass
         return p
 
     def is_quiet(self, probe: float | None) -> bool:

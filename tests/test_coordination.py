@@ -27,6 +27,7 @@ def benchmod(tmp_path, monkeypatch):
     monkeypatch.setattr(b, "DEV_FLAG", str(tmp_path / "dev"))
     monkeypatch.setattr(b, "TRIAL_WAIT_SEC", 0.3)
     monkeypatch.setattr(b, "TRIAL_POLL_SEC", 0.1)
+    monkeypatch.setattr(b, "PROBE_HISTORY_PATH", str(tmp_path / "probes.jsonl"))
     monkeypatch.delenv("SPARK_GRAFT_TRIAL_CHILD", raising=False)
     return b
 
