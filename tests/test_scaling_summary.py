@@ -79,3 +79,18 @@ def test_summarize_era_needs_positive_ceiling(monkeypatch, tmp_path):
 def test_docs_for_multiplier():
     assert rs.docs_for("cluster2", 20000) == 20000
     assert rs.docs_for("cluster2x3", 20000) == 60000
+
+
+def test_fresh_protocol_cannot_self_certify_quiet(monkeypatch, tmp_path):
+    """A new trials file's first pair must be scored against the host
+    ceiling from the shared probe history, not its own probes."""
+    hist_file = tmp_path / "hist.jsonl"
+    with open(hist_file, "w") as f:
+        f.write(json.dumps({"t": T0 - 100, "cores": 16, "probe": 46000.0}) + "\n")
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(hist_file))
+    lone = _pair(T0, 28500.0, 28600.0)  # balanced but at 62% of the ceiling
+    s = rs._summarize({"none": [lone], "parquet": []}, probe_cores=16)
+    sm = s["modes"]["none"]
+    assert s["pmax"] == 46000.0
+    assert sm["n_quiet"] == 0          # absolute bar: not quiet
+    assert sm["n_quiet_era"] == 0      # era ceiling 46k within +-3h: not quiet

@@ -335,6 +335,13 @@ def _summarize(results: dict, rev: str = KERNEL_REV,
                 for role in ("small", "big")),
                default=0.0)
     history = _load_probe_history() if probe_cores else []
+    # the quiet bar is a HOST ceiling: floor pmax by the best same-shape
+    # probe ever logged anywhere (probe_history), so a freshly-started
+    # protocol file (e.g. cluster2x3's first pair) cannot self-certify its
+    # own probes as "quiet" before it has seen the host's real ceiling
+    if probe_cores:
+        pmax = max(pmax, max((h["probe"] for h in history
+                              if h.get("cores") == probe_cores), default=0.0))
     # every recorded pair leg is itself a probe observation for era ceilings
     pair_pts = [(p["t"], p[role]["probe"]) for m in results for p in results[m]
                 if "t" in p for role in ("small", "big")]
