@@ -48,6 +48,7 @@ TRIAL_FLAG = "/tmp/graft_trial_running"
 DEV_FLAG = "/tmp/graft_dev_busy"
 TRIAL_WAIT_SEC = 120.0
 TRIAL_POLL_SEC = 10.0
+DEV_WAIT_SEC = 900.0   # max wait for a FOREIGN dev-flag holder to finish
 
 # -- steal-wave probe gating (round-5) -------------------------------------
 # This shared host shows hour-scale hypervisor steal waves (3-7x wall-time
@@ -203,13 +204,31 @@ def _hold_dev_flag() -> str | None:
 
     Skipped when SPARK_GRAFT_TRIAL_CHILD is set: then THIS process is a leg
     of a scaling trial and claiming the flag would make the harness's
-    inter-leg DEV_FLAG checks abort their own subprocess. If another
-    trial's flag is up, wait (bounded) for its leg to finish, then claim
-    anyway: quiet_capture aborts an in-flight pair unsaved at its next
-    checkpoint once the dev flag appears, so the overlap is one leg at
-    worst and the aborted pair is never recorded as evidence."""
-    if os.environ.get("SPARK_GRAFT_TRIAL_CHILD") or os.path.exists(DEV_FLAG):
+    inter-leg DEV_FLAG checks abort their own subprocess. Also skipped when
+    SPARK_GRAFT_DEV_PARENT is set: the flag already belongs to this
+    process's parent (tools/devrun.sh, tools/quiet_driver_bench.py), so
+    waiting on it would deadlock against ourselves.
+
+    A FOREIGN dev flag (neither parent's nor ours — e.g. the driver's
+    per-round bench launching while a quiet-capture bench is mid-run) is
+    waited out (bounded): two concurrent full benches would halve each
+    other's cores and the official artifact must never record that
+    collision. If another trial's flag is up, wait (bounded) for its leg
+    to finish, then claim anyway: quiet_capture aborts an in-flight pair
+    unsaved at its next checkpoint once the dev flag appears, so the
+    overlap is one leg at worst and the aborted pair is never recorded as
+    evidence."""
+    if os.environ.get("SPARK_GRAFT_TRIAL_CHILD"):
         return None
+    if os.path.exists(DEV_FLAG):
+        if os.environ.get("SPARK_GRAFT_DEV_PARENT"):
+            return None
+        waited = 0.0
+        while os.path.exists(DEV_FLAG) and waited < DEV_WAIT_SEC:
+            time.sleep(TRIAL_POLL_SEC)
+            waited += TRIAL_POLL_SEC
+        if os.path.exists(DEV_FLAG):
+            return None  # holder looks stuck; proceed without the flag
     waited = 0.0
     while os.path.exists(TRIAL_FLAG) and waited < TRIAL_WAIT_SEC:
         time.sleep(TRIAL_POLL_SEC)

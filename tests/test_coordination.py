@@ -27,6 +27,8 @@ def benchmod(tmp_path, monkeypatch):
     monkeypatch.setattr(b, "DEV_FLAG", str(tmp_path / "dev"))
     monkeypatch.setattr(b, "TRIAL_WAIT_SEC", 0.3)
     monkeypatch.setattr(b, "TRIAL_POLL_SEC", 0.1)
+    monkeypatch.setattr(b, "DEV_WAIT_SEC", 0.3)
+    monkeypatch.delenv("SPARK_GRAFT_DEV_PARENT", raising=False)
     monkeypatch.setattr(b, "PROBE_HISTORY_PATH", str(tmp_path / "probes.jsonl"))
     monkeypatch.delenv("SPARK_GRAFT_TRIAL_CHILD", raising=False)
     return b
@@ -35,9 +37,36 @@ def benchmod(tmp_path, monkeypatch):
 def test_hold_claims_and_is_exclusive(benchmod):
     flag = benchmod._hold_dev_flag()
     assert flag == benchmod.DEV_FLAG and os.path.exists(flag)
-    # a second claimant (another dev shell) must back off
+    # a second claimant (another dev shell) waits out the foreign holder
+    # (bounded) and, if it never clears, proceeds WITHOUT the flag
     assert benchmod._hold_dev_flag() is None
     os.remove(flag)
+
+
+def test_foreign_dev_flag_is_waited_out_then_claimed(benchmod):
+    """Round-5: the driver's official bench must never run concurrently
+    with a quiet-capture bench. A foreign dev flag that clears during the
+    bounded wait is followed by a normal claim."""
+    import threading
+
+    open(benchmod.DEV_FLAG, "w").close()
+    t = threading.Timer(0.15, os.remove, args=(benchmod.DEV_FLAG,))
+    t.start()
+    flag = benchmod._hold_dev_flag()
+    t.join()
+    assert flag == benchmod.DEV_FLAG and os.path.exists(flag)
+    os.remove(flag)
+
+
+def test_dev_parent_child_does_not_wait_or_claim(benchmod, monkeypatch):
+    """devrun.sh / quiet_driver_bench children own their parent's flag."""
+    monkeypatch.setenv("SPARK_GRAFT_DEV_PARENT", "1")
+    open(benchmod.DEV_FLAG, "w").close()
+    import time as _t
+    t0 = _t.time()
+    assert benchmod._hold_dev_flag() is None
+    assert _t.time() - t0 < 0.2  # returned immediately, no foreign-wait
+    os.remove(benchmod.DEV_FLAG)
 
 
 def test_trial_child_never_claims(benchmod, monkeypatch):

@@ -51,6 +51,9 @@ def _pmax() -> float:
 
 def run_bench() -> dict:
     env = dict(os.environ)
+    # the dev flag is held by THIS process: the child bench must not wait
+    # on it (bench.py round-5 foreign-flag wait)
+    env["SPARK_GRAFT_DEV_PARENT"] = "1"
     # driver defaults: CPUS=32, 15000 docs, parquet sink, full query set
     for k in ("SPARK_GRAFT_CPUS", "SPARK_GRAFT_BENCH_DOCS",
               "SPARK_GRAFT_ROLLUP_ONLY", "SPARK_GRAFT_SINK",
