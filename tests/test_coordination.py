@@ -135,6 +135,49 @@ def test_run_pair_aborts_when_dev_flag_preexists(qc, monkeypatch):
     assert qc._test_saves == []
 
 
+def test_lead_role_targets_quiet_arm_deficit(qc):
+    """The leg starved of quiet samples runs first (it inherits the gate
+    probe that opened the window); ties keep the short big leg first."""
+    assert qc.lead_role(0, 2) == "small"
+    assert qc.lead_role(1, 2) == "small"
+    assert qc.lead_role(2, 2) == "big"
+    assert qc.lead_role(3, 1) == "big"
+
+
+@pytest.mark.parametrize("lead,expected_cpus", [("big", [8, 2]), ("small", [2, 8])])
+def test_run_pair_honors_lead_role(qc, monkeypatch, lead, expected_cpus):
+    ran = []
+    monkeypatch.setattr(
+        qc, "run_once",
+        lambda cpus, n_docs, sink, master=None: ran.append(cpus) or {
+            "sec": 1.0, "tokens_per_sec": 1, "tokens": 1})
+    out = qc.run_pair("local2", "none", 100, first_probe=10_000.0,
+                      pmax=11_000.0, lead=lead)
+    assert ran == expected_cpus
+    assert out is not None and "big" in out and "small" in out
+
+
+def test_run_pair_interleg_wait_keys_off_lead_leg(qc, monkeypatch):
+    """The recovery wait triggers only when the FIRST leg was quiet; with a
+    small-first pair that check must read the small leg's probe, not big's."""
+    probes = iter([9_800.0])  # second leg's probe: below the 0.93 bar
+    monkeypatch.setattr(qc, "capacity_probe",
+                        lambda cores, dur=1.2: next(probes))
+    monkeypatch.setattr(
+        qc, "run_once",
+        lambda cpus, n_docs, sink, master=None: {
+            "sec": 1.0, "tokens_per_sec": 1, "tokens": 1})
+    waited = []
+    monkeypatch.setattr(qc.time, "sleep", lambda s: waited.append(s))
+    monkeypatch.setattr(qc, "INTERLEG_WAIT_SEC", 0)  # don't loop, just branch
+    # lead small with a QUIET first probe (10.3k >= 0.93*11k): the wait
+    # branch must be reachable (first_leg_quiet True from the small leg)
+    out = qc.run_pair("local2", "none", 100, first_probe=10_300.0,
+                      pmax=11_000.0, lead="small")
+    assert out is not None
+    assert out["small"]["probe"] == 10_300.0 and out["big"]["probe"] == 9_800.0
+
+
 # -- probe gate (round 5: VERDICT r04 #1) -----------------------------------
 
 

@@ -40,7 +40,8 @@ TRIAL_FLAG = "/tmp/graft_trial_running"
 DEV_FLAG = "/tmp/graft_dev_busy"
 TARGET_QUIET = 2
 FORCE_EVERY = 12          # ungated pair every N idle cycles (min-wall accum)
-SLEEP_SEC = 75
+SLEEP_SEC = 45            # quiet windows are minute-scale; poll fast enough
+                          # not to sleep through one (probe cost 1.2s)
 # Fire a pair when the gate probe reaches FIRE_FRAC of pmax — slightly below
 # the QUIET_FRAC scoring bar. Probes drift +-8% minute to minute (the 12:13
 # pair gated at 0.96 pmax but its big leg probed 0.89), so gating at the
@@ -79,10 +80,11 @@ def _log(msg: str) -> None:
 
 
 def _state(n_docs: int) -> dict:
-    """(proto, mode) -> (n_quiet, n_pairs, pmax) from the on-disk trials.
-    n_quiet counts a pair quiet under EITHER bar (absolute or era —
-    run_scaling module comment): the loop's scarce resource is windows,
-    and an era-quiet pair already gives the controlled ratio evidence."""
+    """(proto, mode) -> (n_quiet, n_pairs, pmax, n_quiet_small, n_quiet_big)
+    from the on-disk trials. n_quiet counts a pair quiet under EITHER bar
+    (absolute or era — run_scaling module comment): the loop's scarce
+    resource is windows, and an era-quiet pair already gives the controlled
+    ratio evidence. The per-ROLE quiet-arm counts drive lead_role()."""
     out = {}
     for proto in PROTOCOLS:
         res = _load_prior(proto, docs_for(proto, n_docs))
@@ -93,8 +95,27 @@ def _state(n_docs: int) -> dict:
                 max(sm["n_quiet"], sm.get("n_quiet_era", 0)) if sm else 0,
                 sm["n_pairs"] if sm else 0,
                 s["pmax"],
+                sm.get("n_quiet_small", 0) if sm else 0,
+                sm.get("n_quiet_big", 0) if sm else 0,
             )
     return out
+
+
+def lead_role(n_quiet_small: int, n_quiet_big: int) -> str:
+    """Which leg should run FIRST when a quiet window opens.
+
+    The gate probe that opened the window is seconds old, so the first leg
+    is the one most likely to score probe-quiet; the second leg takes its
+    chances with the (bounded) inter-leg recovery wait. Rounds 3-4 always
+    led with the big leg (it is the short one, maximizing the chance BOTH
+    legs fit one window) — the result was quiet BIG arms accumulating while
+    quiet SMALL arms starved (cluster2 r4: 1 quiet small vs 2 quiet big),
+    capping the cross-pair quiet-arms efficiency the report relies on when
+    no same-pair window lands. Lead with the deficient role; on ties keep
+    the big leg first (shortest path to a full same-pair quiet capture).
+    Execution order cannot bias any measurement: each arm is a fresh pinned
+    JVM scored by its own immediately-preceding probe."""
+    return "small" if n_quiet_small < n_quiet_big else "big"
 
 
 def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
@@ -116,7 +137,7 @@ INTERLEG_POLL_SEC = 40
 
 def run_pair(proto: str, mode: str, n_docs: int,
              first_probe: float | None = None,
-             pmax: float = 0.0) -> dict | None:
+             pmax: float = 0.0, lead: str = "big") -> dict | None:
     """Run one (small, big) pair and save it. Returns None WITHOUT saving
     when a dev command slipped through the coordination race: the cycle-top
     dev-busy check leaves a window (probe ~1.2s + state read) before
@@ -135,13 +156,15 @@ def run_pair(proto: str, mode: str, n_docs: int,
             _log(f"  {proto}/{mode}: dev work slipped in before the trial "
                  f"flag; aborting pair unsaved")
             return None
-        # BIG arm first: it is the short leg (~1/3 the small arm's wall), and
-        # the gate probe that opened the window was taken seconds ago — running
-        # it immediately maximizes the chance BOTH legs finish inside the same
-        # quiet window. Execution order cannot bias the measurement: each arm
-        # is a fresh pinned JVM scored by its own immediately-preceding probe.
-        for i, (role, (label, cpus, master)) in enumerate(
-                (("big", arms[1]), ("small", arms[0]))):
+        # Lead role first (see lead_role()): the gate probe that opened the
+        # window was taken seconds ago — the leading leg inherits it, so it
+        # goes to whichever role is starved of quiet samples. Execution order
+        # cannot bias the measurement: each arm is a fresh pinned JVM scored
+        # by its own immediately-preceding probe.
+        order = (("big", arms[1]), ("small", arms[0]))
+        if lead == "small":
+            order = (order[1], order[0])
+        for i, (role, (label, cpus, master)) in enumerate(order):
             probe = first_probe if (i == 0 and first_probe is not None) \
                 else capacity_probe(probe_cores)
             log_probe(probe_cores, probe, tag=f"{proto}/{mode}-leg")
@@ -156,7 +179,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
             # pair is quiet only if BOTH legs' probes clear the same bar.
             if i == 1 and pmax > 0:
                 bar = QUIET_FRAC * pmax
-                first_leg_quiet = pair["big"]["probe"] >= bar
+                first_leg_quiet = pair[order[0][0]]["probe"] >= bar
                 waited = 0.0
                 while (first_leg_quiet and probe < bar
                        and waited < INTERLEG_WAIT_SEC
@@ -220,7 +243,7 @@ def main() -> None:
         min_q = min(state[pm][0] for pm in todo)
         tied = [pm for pm in todo if state[pm][0] == min_q]
         proto, mode = tied[main.fire_count % len(tied)]
-        _, _, pmax = state[(proto, mode)]
+        _, _, pmax, nqs, nqb = state[(proto, mode)]
         idle = time.time() - main.last_gated_fire
         frac = max(FIRE_FRAC_MIN,
                    FIRE_FRAC - FIRE_DECAY_STEP * int(idle / FIRE_DECAY_SEC))
@@ -228,11 +251,12 @@ def main() -> None:
         probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
         log_probe(PROTOCOLS[proto]["arms"][1][1], probe, tag="gate")
         if probe >= thr:
+            lead = lead_role(nqs, nqb)
             _log(f"QUIET window for {proto}/{mode}: probe "
                  f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k "
-                 f"(fire frac {frac:.2f}) — firing pair")
+                 f"(fire frac {frac:.2f}) — firing pair, {lead} leg first")
             if run_pair(proto, mode, n_docs, first_probe=probe,
-                        pmax=pmax) is not None:
+                        pmax=pmax, lead=lead) is not None:
                 main.last_gated_fire = time.time()
             main.fire_count += 1
             fired = True
@@ -249,12 +273,22 @@ def main() -> None:
         cycles_since_fire += 1
         if cycles_since_fire >= FORCE_EVERY:
             # rotate forced (ungated) pairs across the deficient combos so
-            # min-wall accumulates for every protocol, not just the top one
-            proto, mode = todo[main.force_idx % len(todo)]
+            # min-wall accumulates for every protocol, not just the top one.
+            # Every other forced slot goes to cluster2x3 (VERDICT r04 #3):
+            # its pairs cost 3x the wall of the others, so a flat rotation
+            # leaves the 60k-doc control permanently under-sampled (n=2 at
+            # round-5 start vs n=27 for cluster2).
+            c2x3 = ("cluster2x3", "none")
+            if main.force_idx % 2 == 1 and c2x3 in todo:
+                proto, mode = c2x3
+            else:
+                proto, mode = todo[(main.force_idx // 2) % len(todo)]
             main.force_idx += 1
             _log(f"forcing ungated pair for {proto}/{mode} "
                  f"(min-wall accumulation)")
-            run_pair(proto, mode, n_docs, pmax=state[(proto, mode)][2])
+            st = state[(proto, mode)]
+            run_pair(proto, mode, n_docs, pmax=st[2],
+                     lead=lead_role(st[3], st[4]))
             cycles_since_fire = 0
             continue
         time.sleep(SLEEP_SEC)

@@ -443,6 +443,42 @@ def _band_rows(all_results: dict[str, dict]) -> list[str]:
     return rows
 
 
+def _amortization_section(all_results: dict[str, dict]) -> str:
+    """VERDICT r04 #3: same-kernel cluster2 efficiency at 20k vs 60k docs,
+    side by side. The r4b kernel halved compute walls, so fixed per-job
+    overhead (~1.1-1.5s measured floor) and probe-to-leg noise weigh ~2x
+    more in the 20k ratio; the 3x-input arms hold JVM shape and kernel
+    constant while tripling compute per job."""
+    rows = []
+    for proto, docs_label in (("cluster2", "20k docs"), ("cluster2x3", "60k docs (3x)")):
+        res = all_results.get(proto)
+        if not res or not res["none"]:
+            continue
+        s = _summarize(res, probe_cores=PROTOCOLS[proto]["arms"][1][1])
+        sm = s["modes"]["none"]
+        if not sm:
+            continue
+        rows.append(
+            f"| {docs_label} | {sm['n_pairs']} | {sm['eff_min']:.3f} "
+            f"| {_fmt_eff(sm.get('eff_qarms'))} "
+            f"| {sm['best_small']['sec']}s | {sm['best_big']['sec']}s |")
+    if len(rows) < 2:
+        return ""
+    return f"""### Overhead-amortization control: cluster2 at 20k vs 60k docs
+
+Same arms (local-cluster[2,2,4096] vs [8,2,4096]), same kernel
+({KERNEL_REV}), compute phase; only the input size differs. If the 20k
+deficit were fixed per-job overhead, the 60k ratio would rise toward the
+host ceiling (0.760 no-engine control); if it is per-core capacity lost
+to steal waves, both scales read alike and only probe-quiet windows
+separate engine from host.
+
+| input | pairs | eff (min-wall) | eff (quiet arms) | best N wall | best 4N wall |
+|---|---|---|---|---|---|
+{os.linesep.join(rows)}
+"""
+
+
 def _host_ceiling_section(all_results: dict[str, dict] | None = None) -> str:
     """Quantified host ceiling for the 4-vs-16-pinned-core shape, from the
     no-Spark controls (tools/mp_ceiling.py, tools/probe_sampler.py)."""
@@ -731,6 +767,7 @@ the absolute bar stays reported beside it, never replaced.
 
 {os.linesep.join(_band_rows(all_results))}
 
+{_amortization_section(all_results)}
 {_host_ceiling_section(all_results)}
 {os.linesep.join(proto_sections)}
 ## Prior-session bests (same pipeline, quiet host windows)
