@@ -136,12 +136,24 @@ def test_run_pair_aborts_when_dev_flag_preexists(qc, monkeypatch):
 
 
 def test_lead_role_targets_quiet_arm_deficit(qc):
-    """The leg starved of quiet samples runs first (it inherits the gate
-    probe that opened the window); ties keep the short big leg first."""
-    assert qc.lead_role(0, 2) == "small"
-    assert qc.lead_role(1, 2) == "small"
-    assert qc.lead_role(2, 2) == "big"
-    assert qc.lead_role(3, 1) == "big"
+    """The leg whose quiet evidence lags its capability runs first (it
+    inherits the gate probe that opened the window)."""
+    def sm(best_s, best_b, q_s, q_b):
+        return {"best_small": {"sec": best_s}, "best_big": {"sec": best_b},
+                "best_quiet_small": {"sec": q_s} if q_s else None,
+                "best_quiet_big": {"sec": q_b} if q_b else None}
+
+    # no quiet sample at all: that role leads (small wins the double-zero)
+    assert qc.lead_role(sm(20.0, 8.0, None, None)) == "small"
+    assert qc.lead_role(sm(20.0, 8.0, 20.0, None)) == "big"
+    assert qc.lead_role(sm(20.0, 8.0, None, 8.0)) == "small"
+    # cluster2 r4 shape: quiet small == overall best (gap 1.0) but quiet
+    # big (10.3s) lags overall best big (7.7s) -> big leads
+    assert qc.lead_role(sm(21.771, 7.701, 21.771, 10.317)) == "big"
+    # quiet big at its best, quiet small far off -> small leads
+    assert qc.lead_role(sm(20.0, 8.0, 30.0, 8.0)) == "small"
+    # both at their bests (tie): big (short leg) first
+    assert qc.lead_role(sm(20.0, 8.0, 20.0, 8.0)) == "big"
 
 
 @pytest.mark.parametrize("lead,expected_cpus", [("big", [8, 2]), ("small", [2, 8])])

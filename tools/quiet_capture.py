@@ -80,28 +80,27 @@ def _log(msg: str) -> None:
 
 
 def _state(n_docs: int) -> dict:
-    """(proto, mode) -> (n_quiet, n_pairs, pmax, n_quiet_small, n_quiet_big)
-    from the on-disk trials. n_quiet counts a pair quiet under EITHER bar
-    (absolute or era — run_scaling module comment): the loop's scarce
-    resource is windows, and an era-quiet pair already gives the controlled
-    ratio evidence. The per-ROLE quiet-arm counts drive lead_role()."""
+    """(proto, mode) -> {n_quiet, n_pairs, pmax, lead} from the on-disk
+    trials. n_quiet counts a pair quiet under EITHER bar (absolute or era —
+    run_scaling module comment): the loop's scarce resource is windows,
+    and an era-quiet pair already gives the controlled ratio evidence."""
     out = {}
     for proto in PROTOCOLS:
         res = _load_prior(proto, docs_for(proto, n_docs))
         s = _summarize(res, probe_cores=PROTOCOLS[proto]["arms"][1][1])
         for mode in ("none", "parquet"):
             sm = s["modes"][mode]
-            out[(proto, mode)] = (
-                max(sm["n_quiet"], sm.get("n_quiet_era", 0)) if sm else 0,
-                sm["n_pairs"] if sm else 0,
-                s["pmax"],
-                sm.get("n_quiet_small", 0) if sm else 0,
-                sm.get("n_quiet_big", 0) if sm else 0,
-            )
+            out[(proto, mode)] = {
+                "n_quiet": (max(sm["n_quiet"], sm.get("n_quiet_era", 0))
+                            if sm else 0),
+                "n_pairs": sm["n_pairs"] if sm else 0,
+                "pmax": s["pmax"],
+                "lead": lead_role(sm) if sm else "big",
+            }
     return out
 
 
-def lead_role(n_quiet_small: int, n_quiet_big: int) -> str:
+def lead_role(sm: dict) -> str:
     """Which leg should run FIRST when a quiet window opens.
 
     The gate probe that opened the window is seconds old, so the first leg
@@ -111,11 +110,24 @@ def lead_role(n_quiet_small: int, n_quiet_big: int) -> str:
     legs fit one window) — the result was quiet BIG arms accumulating while
     quiet SMALL arms starved (cluster2 r4: 1 quiet small vs 2 quiet big),
     capping the cross-pair quiet-arms efficiency the report relies on when
-    no same-pair window lands. Lead with the deficient role; on ties keep
-    the big leg first (shortest path to a full same-pair quiet capture).
-    Execution order cannot bias any measurement: each arm is a fresh pinned
-    JVM scored by its own immediately-preceding probe."""
-    return "small" if n_quiet_small < n_quiet_big else "big"
+    no same-pair window lands.
+
+    What the quiet-arms ratio needs is not more quiet samples per role but
+    a quiet sample NEAR THE ROLE'S BEST WALL: a role whose quiet-best
+    already equals its overall min-wall gains nothing from another quiet
+    draw. Lead with (1) a role that has zero quiet samples (small first —
+    historically the starved one), else (2) the role whose quiet-best wall
+    lags its overall best by the larger factor; ties keep the big leg
+    first (shortest leg — best odds the window also covers leg two for a
+    full same-pair capture). Execution order cannot bias any measurement:
+    each arm is a fresh pinned JVM scored by its own immediately-preceding
+    probe."""
+    qs, qb = sm.get("best_quiet_small"), sm.get("best_quiet_big")
+    if qs is None or qb is None:
+        return "small" if qs is None else "big"
+    gap_small = qs["sec"] / sm["best_small"]["sec"]
+    gap_big = qb["sec"] / sm["best_big"]["sec"]
+    return "small" if gap_small > gap_big else "big"
 
 
 def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
@@ -229,7 +241,7 @@ def main() -> None:
             continue
         state = _state(n_docs)
         todo = [(p, m) for (p, m) in PRIORITY
-                if state[(p, m)][0] < TARGET_QUIET]
+                if state[(p, m)]["n_quiet"] < TARGET_QUIET]
         if not todo:
             _log("all (proto, mode) targets met; exiting")
             break
@@ -240,10 +252,11 @@ def main() -> None:
         # cluster2 monopolize every window while it stays at zero quiet
         # pairs — starving local2, the one protocol that can physically
         # demonstrate the 0.8 bar on this host).
-        min_q = min(state[pm][0] for pm in todo)
-        tied = [pm for pm in todo if state[pm][0] == min_q]
+        min_q = min(state[pm]["n_quiet"] for pm in todo)
+        tied = [pm for pm in todo if state[pm]["n_quiet"] == min_q]
         proto, mode = tied[main.fire_count % len(tied)]
-        _, _, pmax, nqs, nqb = state[(proto, mode)]
+        st = state[(proto, mode)]
+        pmax = st["pmax"]
         idle = time.time() - main.last_gated_fire
         frac = max(FIRE_FRAC_MIN,
                    FIRE_FRAC - FIRE_DECAY_STEP * int(idle / FIRE_DECAY_SEC))
@@ -251,7 +264,7 @@ def main() -> None:
         probe = capacity_probe(PROTOCOLS[proto]["arms"][1][1])
         log_probe(PROTOCOLS[proto]["arms"][1][1], probe, tag="gate")
         if probe >= thr:
-            lead = lead_role(nqs, nqb)
+            lead = st["lead"]
             _log(f"QUIET window for {proto}/{mode}: probe "
                  f"{probe / 1e3:.1f}k >= {thr / 1e3:.1f}k "
                  f"(fire frac {frac:.2f}) — firing pair, {lead} leg first")
@@ -262,7 +275,7 @@ def main() -> None:
             fired = True
         else:
             _log(f"{proto}/{mode}: probe {probe / 1e3:.1f}k "
-                 f"< {thr / 1e3:.1f}k (need {state[(proto, mode)][0]}"
+                 f"< {thr / 1e3:.1f}k (need {st['n_quiet']}"
                  f"/{TARGET_QUIET} quiet)")
             # one gate probe per cycle is enough signal; protocols share
             # the host, so a noisy read for the chosen combo means noisy
@@ -287,8 +300,8 @@ def main() -> None:
             _log(f"forcing ungated pair for {proto}/{mode} "
                  f"(min-wall accumulation)")
             st = state[(proto, mode)]
-            run_pair(proto, mode, n_docs, pmax=st[2],
-                     lead=lead_role(st[3], st[4]))
+            run_pair(proto, mode, n_docs, pmax=st["pmax"],
+                     lead=st["lead"])
             cycles_since_fire = 0
             continue
         time.sleep(SLEEP_SEC)

@@ -373,9 +373,10 @@ def _summarize(results: dict, rev: str = KERNEL_REV,
         qb = [p["big"] for p in pairs
               if p["big"]["probe"] >= QUIET_FRAC * pmax]
         eff_qarms = None
+        best_quiet_small = min(qs, key=lambda d: d["sec"]) if qs else None
+        best_quiet_big = min(qb, key=lambda d: d["sec"]) if qb else None
         if qs and qb:
-            eff_qarms = (min(qb, key=lambda d: d["sec"])["tps"]
-                         / min(qs, key=lambda d: d["sec"])["tps"]) / 4.0
+            eff_qarms = (best_quiet_big["tps"] / best_quiet_small["tps"]) / 4.0
         # era-relative quiet: both arms >= QUIET_FRAC of the best probe seen
         # within +-3h of the pair (see module comment above log_probe) —
         # requires timestamped pairs (round 5+) and a probe_cores hint
@@ -400,6 +401,8 @@ def _summarize(results: dict, rev: str = KERNEL_REV,
             "eff_quiet": eff_quiet, "n_quiet": len(qp), "n_pairs": len(pairs),
             "eff_qarms": eff_qarms,
             "n_quiet_small": len(qs), "n_quiet_big": len(qb),
+            "best_quiet_small": best_quiet_small,
+            "best_quiet_big": best_quiet_big,
             "eff_quiet_era": eff_quiet_era, "n_quiet_era": len(qp_era),
             "era_frac_of_best": era_frac_of_best,
         }
