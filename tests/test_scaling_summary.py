@@ -81,6 +81,66 @@ def test_docs_for_multiplier():
     assert rs.docs_for("cluster2x3", 20000) == 60000
 
 
+def test_run_with_tree_cpu_captures_output_and_cpu():
+    """os.wait4 path: stdout/stderr captured, exit code right, and the
+    rusage covers CPU burned by the child's own CHILDREN (the JVM/daemon
+    tree in real legs)."""
+    code = ("import subprocess, sys;"
+            "subprocess.run([sys.executable, '-c',"
+            "'x=0\\nfor i in range(4*10**6): x+=i*i']);"
+            "print('OUT-MARKER'); sys.stderr.write('ERR-MARKER')")
+    out, err, rc, cpu = rs._run_with_tree_cpu(
+        [sys.executable, "-c", code], dict(os.environ), timeout=60)
+    assert rc == 0 and "OUT-MARKER" in out and "ERR-MARKER" in err
+    assert cpu is not None and cpu > 0.05
+
+
+def test_run_with_tree_cpu_propagates_failure():
+    out, err, rc, cpu = rs._run_with_tree_cpu(
+        [sys.executable, "-c", "import sys; sys.exit(3)"],
+        dict(os.environ), timeout=60)
+    assert rc == 3
+
+
+def test_load_prior_keeps_cpu_annotation(monkeypatch, tmp_path):
+    """cpu_s recorded on a leg must survive the save->_load_prior round
+    trip (the work-conservation section reads it from disk)."""
+    p = _pair(T0, 46000.0, 46000.0)
+    p["small"]["cpu_s"] = 123.4
+    p["big"]["cpu_s"] = 130.1
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    with open(tmp_path / "BENCH" / "trials_cpu.json", "w") as f:
+        json.dump({"n_docs": 20000, "results": {"none": [p], "parquet": []}}, f)
+    monkeypatch.setitem(rs.PROTOCOLS["cluster2"], "file", "trials_cpu.json")
+    monkeypatch.setattr(rs, "REPO", str(tmp_path))
+    loaded = rs._load_prior("cluster2", 20000)
+    assert loaded["none"][0]["small"]["cpu_s"] == 123.4
+    assert loaded["none"][0]["big"]["cpu_s"] == 130.1
+
+
+def test_work_conservation_section_renders(monkeypatch, tmp_path):
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(tmp_path / "none.jsonl"))
+    p1 = _pair(T0, 40000.0, 40000.0)
+    p1["small"]["cpu_s"] = 100.0
+    p1["big"]["cpu_s"] = 110.0
+    all_results = {"cluster2": {"none": [p1], "parquet": []}}
+    monkeypatch.setattr(rs, "REPO", str(tmp_path))  # no cpu_floor.json
+    txt = rs._work_conservation_section(all_results)
+    assert "Work conservation" in txt
+    assert "| cluster2 | 1 | 100.0s | 110.0s | 0.909 | — |" in txt
+    # with a floor file: adjusted column = (100-10)/(110-30)
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    with open(tmp_path / "BENCH" / "cpu_floor.json", "w") as f:
+        json.dump({"n_docs": 200, "arms": {
+            "local-cluster[2,2,4096]": {"cpu_s": 10.0},
+            "local-cluster[8,2,4096]": {"cpu_s": 30.0}}}, f)
+    txt = rs._work_conservation_section(all_results)
+    assert "| 0.909 | 1.125 |" in txt
+    # pairs without cpu_s annotations: section omitted entirely
+    assert rs._work_conservation_section(
+        {"cluster2": {"none": [_pair(T0, 1.0, 1.0)], "parquet": []}}) == ""
+
+
 def test_fresh_protocol_cannot_self_certify_quiet(monkeypatch, tmp_path):
     """A new trials file's first pair must be scored against the host
     ceiling from the shared probe history, not its own probes."""

@@ -214,6 +214,8 @@ def run_pair(proto: str, mode: str, n_docs: int,
             r = run_once(cpus, docs, mode, master)
             pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                           "probe": probe, "tokens": r["tokens"]}
+            if "cpu_s" in r:
+                pair[role]["cpu_s"] = r["cpu_s"]
             _log(f"  {proto}/{mode} {label}: {r['sec']}s "
                  f"({r['tokens_per_sec']:,} tok/s, probe {probe / 1e3:.0f}k)")
     finally:

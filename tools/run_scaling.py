@@ -151,12 +151,117 @@ def run_once(cpus: int, n_docs: int, sink: str, master: str | None = None) -> di
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
-    if out.returncode != 0 or not out.stdout.strip():
-        sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"bench.py failed (rc={out.returncode}); stderr above")
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["rollup"]
+    stdout, stderr, rc, cpu_s = _run_with_tree_cpu(cmd, env, timeout=1800)
+    if rc != 0 or not stdout.strip():
+        sys.stderr.write(stderr[-4000:])
+        raise RuntimeError(f"bench.py failed (rc={rc}); stderr above")
+    line = stdout.strip().splitlines()[-1]
+    r = json.loads(line)["rollup"]
+    if cpu_s is not None:
+        # user+sys CPU seconds of the ENTIRE leg process tree (taskset ->
+        # python -> JVM -> executor JVMs -> pyspark daemons), from
+        # os.wait4's rusage (Linux rolls a reaped child's self+children
+        # usage into the parent's, so a cleanly-exiting leg accounts for
+        # every descendant). Steal time is NOT charged to processes, so
+        # unlike wall clock this is a host-noise-independent measure of
+        # the WORK an arm performed — the basis of the work-conservation
+        # scaling argument in BENCH/BASELINE.md.
+        r["cpu_s"] = round(cpu_s, 2)
+    return r
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _proc_snapshot() -> tuple[dict, dict]:
+    """(pid -> ppid, (pid, starttime) -> utime+stime seconds) for all live
+    processes, from /proc. starttime disambiguates recycled pids."""
+    ppid, cpu = {}, {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        pid = int(d)
+        ppid[pid] = int(rest[1])                      # field 4
+        ticks = int(rest[11]) + int(rest[12])         # utime+stime (14,15)
+        cpu[(pid, rest[19])] = ticks / _CLK_TCK       # starttime (22)
+    return ppid, cpu
+
+
+def _run_with_tree_cpu(cmd: list[str], env: dict,
+                       timeout: float) -> tuple[str, str, int, float | None]:
+    """subprocess.run(capture_output) equivalent that also returns the
+    user+sys CPU seconds of the child's WHOLE process tree.
+
+    Two sources, max taken: (a) os.wait4 rusage — exact, but only covers
+    descendants each parent actually reaped (Spark local-cluster executor
+    JVMs are SIGKILLed at stop and never reaped, so their work vanishes
+    from it); (b) a /proc sampler — every 0.25 s walk the descendant
+    subtree of the leg and record each process's last-seen utime+stime
+    (keyed by (pid, starttime) so recycled pids can't alias), summing the
+    final values. The sampler misses only the final quarter-second tick
+    of each process; steal time is charged to neither source, so both are
+    host-noise-independent reads of the work performed."""
+    import tempfile
+    import threading
+
+    tree_cpu: dict = {}
+    stop = threading.Event()
+
+    def sample(root_pid: int) -> None:
+        while not stop.is_set():
+            try:
+                ppid, cpu = _proc_snapshot()
+            except OSError:
+                stop.wait(0.25)
+                continue
+            # descendants of root (including root)
+            kids: dict[int, list[int]] = {}
+            for pid, par in ppid.items():
+                kids.setdefault(par, []).append(pid)
+            subtree = set()
+            stack = [root_pid]
+            while stack:
+                pid = stack.pop()
+                if pid in subtree:
+                    continue
+                subtree.add(pid)
+                stack.extend(kids.get(pid, ()))
+            for key, sec in cpu.items():
+                if key[0] in subtree:
+                    tree_cpu[key] = sec
+            stop.wait(0.25)
+
+    with tempfile.TemporaryFile(mode="w+") as fo, \
+            tempfile.TemporaryFile(mode="w+") as fe:
+        p = subprocess.Popen(cmd, env=env, stdout=fo, stderr=fe, text=True)
+        sampler = threading.Thread(target=sample, args=(p.pid,), daemon=True)
+        sampler.start()
+        killer = threading.Timer(timeout, p.kill)
+        killer.start()
+        try:
+            _, status, ru = os.wait4(p.pid, 0)
+        except ChildProcessError:
+            # someone else reaped it (shouldn't happen); fall back
+            p.wait()
+            status, ru = (p.returncode or 0) << 8, None
+        finally:
+            killer.cancel()
+            stop.set()
+            sampler.join(timeout=2.0)
+        p.returncode = os.waitstatus_to_exitcode(status)
+        fo.seek(0)
+        fe.seek(0)
+        reaped = (ru.ru_utime + ru.ru_stime) if ru is not None else 0.0
+        sampled = sum(tree_cpu.values())
+        cpu = max(reaped, sampled) if (ru is not None or tree_cpu) else None
+        return fo.read(), fe.read(), p.returncode, cpu
 
 
 def _empty() -> dict:
@@ -444,6 +549,74 @@ def _band_rows(all_results: dict[str, dict]) -> list[str]:
                 f"| {proto} | {floor:.2f} | {eff:.3f} | {mp_:.2f}·pmax "
                 f"| {best['small']['sec']}s, {best['big']['sec']}s |")
     return rows
+
+
+def _work_conservation_section(all_results: dict[str, dict]) -> str:
+    """Host-noise-INDEPENDENT scaling evidence (round 5): total user+sys CPU
+    seconds of each arm's whole process tree (os.wait4 rusage — JVM,
+    executors, pyspark daemons). Steal time is not charged to processes, so
+    unlike wall clock the WORK an arm performs is measurable in any window:
+    if the 4N arm burns the same total CPU as the N arm (work conservation
+    ~1.0) and its tasks are balanced, the wall ratio on a dedicated host is
+    set by core delivery alone — the term probes measure separately."""
+    floor_path = os.path.join(REPO, "BENCH", "cpu_floor.json")
+    floors = {}
+    if os.path.exists(floor_path):
+        try:
+            with open(floor_path) as f:
+                floors = json.load(f).get("arms", {})
+        except Exception:
+            floors = {}
+    rows = []
+    for proto, res in all_results.items():
+        arms = PROTOCOLS[proto]["arms"]
+        pairs = [p for p in res["none"]
+                 if p.get("rev", "legacy") == KERNEL_REV
+                 and "cpu_s" in p.get("small", {}) and "cpu_s" in p.get("big", {})]
+        if not pairs:
+            continue
+        cs = sorted(p["small"]["cpu_s"] for p in pairs)
+        cb = sorted(p["big"]["cpu_s"] for p in pairs)
+        med_s, med_b = cs[len(cs) // 2], cb[len(cb) // 2]
+        wc = med_s / med_b if med_b else None
+        fs = floors.get(arms[0][0], {}).get("cpu_s")
+        fb = floors.get(arms[1][0], {}).get("cpu_s")
+        adj = ""
+        if fs is not None and fb is not None and med_b > fb:
+            wc_adj = (med_s - fs) / (med_b - fb)
+            adj = f"{wc_adj:.3f}"
+        else:
+            adj = "—"
+        rows.append(f"| {proto} | {len(pairs)} | {med_s:.1f}s | {med_b:.1f}s "
+                    f"| {wc:.3f} | {adj} |")
+    if not rows:
+        return ""
+    return f"""### Work conservation (host-noise-independent, compute phase)
+
+Total user+sys CPU seconds of each arm's WHOLE process tree (os.wait4
+rusage: driver JVM, executor JVMs, pyspark daemons), current kernel
+({KERNEL_REV}), median over annotated pairs. Steal time is never charged
+to a process, so this measures the work an arm performed regardless of
+host noise. Work conservation = median CPU(N arm) / median CPU(4N arm):
+1.0 means 4x the executors perform the SAME total work (no
+parallelization overhead — scaling then reduces to core delivery, which
+the capacity probes and the R=0.868 wide-set tax quantify separately);
+values below 1.0 measure the extra work the wide arm pays (more JVMs:
+startup, JIT, GC threads). The floor-adjusted column subtracts each arm
+shape's near-empty-job CPU floor (BENCH/cpu_floor.json: same harness,
+200 docs) — the fixed cost a real cluster pays once per executor, not
+per byte, leaving the marginal per-token work ratio.
+
+| protocol | pairs | med CPU (N) | med CPU (4N) | work conservation | floor-adjusted |
+|---|---|---|---|---|---|
+{os.linesep.join(rows)}
+
+Read with the event-log balance profile (tools/profile_rollup.py:
+cascade-stage balance 0.95-0.98, no straggler tail): dedicated-host
+efficiency ~= work conservation x balance. Wall-clock ratios below that
+product on this box measure the hypervisor's core delivery, not the
+engine.
+"""
 
 
 def _amortization_section(all_results: dict[str, dict]) -> str:
@@ -770,6 +943,7 @@ the absolute bar stays reported beside it, never replaced.
 
 {os.linesep.join(_band_rows(all_results))}
 
+{_work_conservation_section(all_results)}
 {_amortization_section(all_results)}
 {_host_ceiling_section(all_results)}
 {os.linesep.join(proto_sections)}
@@ -843,6 +1017,8 @@ def main() -> None:
                     r = run_once(cpus, docs, mode, master)
                     pair[role] = {"sec": r["sec"], "tps": r["tokens_per_sec"],
                                   "probe": probe, "tokens": r["tokens"]}
+                    if "cpu_s" in r:
+                        pair[role]["cpu_s"] = r["cpu_s"]
                     print(f"[{proto}/{mode}] trial {t} {label}: {r['sec']}s "
                           f"({r['tokens_per_sec']:,} tok/s, probe {probe/1e3:.0f}k)",
                           flush=True)
