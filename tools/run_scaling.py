@@ -591,6 +591,36 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
                     f"| {wc:.3f} | {adj} |")
     if not rows:
         return ""
+    balance_line = (
+        "Read with the event-log balance profile (tools/profile_rollup.py: "
+        "cascade-stage balance 0.95-0.98, no straggler tail): "
+        "dedicated-host efficiency ~= work conservation x balance.")
+    prof = {}
+    for role in ("small", "big"):
+        pth = os.path.join(REPO, "BENCH", f"profile_cluster2_{role}.json")
+        if os.path.exists(pth):
+            try:
+                with open(pth) as f:
+                    d = json.load(f)
+                st = max(d["stages"], key=lambda s: s["task_sum_s"])
+                prof[role] = {"balance": st["balance"],
+                              "max_task_s": st["max_task_s"],
+                              "gc_frac": st["gc_s"] / max(st["task_sum_s"], 1e-9),
+                              "wall_s": d["wall_s"]}
+            except Exception:
+                pass
+    if len(prof) == 2:
+        br = prof["big"]["balance"] / prof["small"]["balance"]
+        balance_line = (
+            f"Read with the CURRENT-kernel event-log balance profiles "
+            f"(tools/profile_rollup.py -> BENCH/profile_cluster2_*.json): "
+            f"cascade-stage balance {prof['small']['balance']:.3f} on the N "
+            f"arm / {prof['big']['balance']:.3f} on the 4N arm (ratio "
+            f"{br:.3f}), GC {prof['small']['gc_frac']:.1%} / "
+            f"{prof['big']['gc_frac']:.1%} of task time, max task "
+            f"{prof['small']['max_task_s']}s / {prof['big']['max_task_s']}s — "
+            f"no straggler tail at either width. Dedicated-host efficiency "
+            f"~= work conservation (floor-adjusted) x balance ratio.")
     return f"""### Work conservation (host-noise-independent, compute phase)
 
 Total user+sys CPU seconds of each arm's WHOLE process tree (os.wait4
@@ -611,9 +641,7 @@ per byte, leaving the marginal per-token work ratio.
 |---|---|---|---|---|---|
 {os.linesep.join(rows)}
 
-Read with the event-log balance profile (tools/profile_rollup.py:
-cascade-stage balance 0.95-0.98, no straggler tail): dedicated-host
-efficiency ~= work conservation x balance. Wall-clock ratios below that
+{balance_line} Wall-clock ratios below that
 product on this box measure the hypervisor's core delivery, not the
 engine.
 """
