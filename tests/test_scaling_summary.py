@@ -76,6 +76,40 @@ def test_summarize_era_needs_positive_ceiling(monkeypatch, tmp_path):
     assert sm["era_frac_of_best"] == pytest.approx(1.0)
 
 
+def test_robust_pmax_requires_ceiling_seen_twice():
+    """Large pools: a lone spike cannot set the quiet bar (extreme order
+    statistics ratchet with sample count); the ceiling is the 2nd-highest
+    DISTINCT sample. Small pools keep the max (no self-certification)."""
+    base = [40000.0 + i for i in range(25)]          # 25 distinct samples
+    assert rs._robust_pmax(base + [52300.0]) == base[-1]
+    # a level seen twice counts (distinct values; same-instant duplicate
+    # logs of one probe collapse via set() and cannot self-confirm)
+    assert rs._robust_pmax(base + [52300.0, 52300.0]) == base[-1]
+    assert rs._robust_pmax(base + [52300.0, 52300.5]) == 52300.0
+    # small pool: plain max
+    assert rs._robust_pmax([28500.0, 28600.0, 46000.0]) == 46000.0
+    assert rs._robust_pmax([]) == 0.0
+
+
+def test_summarize_quiet_bar_ignores_lone_spike(monkeypatch, tmp_path):
+    """End to end: a pair quiet against the demonstrated (twice-seen)
+    ceiling stays quiet when one later spike sample lands in the history."""
+    hist_file = tmp_path / "hist.jsonl"
+    with open(hist_file, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({"t": T0 + i, "cores": 16,
+                                "probe": 48000.0 + i}) + "\n")
+        f.write(json.dumps({"t": T0 + 100, "cores": 16,
+                            "probe": 52300.0}) + "\n")
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(hist_file))
+    pair = _pair(T0 + 200, 47000.0, 48400.0)
+    s = rs._summarize({"none": [pair], "parquet": []}, probe_cores=16)
+    # pool = history + the pair's own legs; 2nd-highest distinct = 48400
+    # (the pair's big leg), NOT the lone 52.3k spike
+    assert s["pmax"] == 48400.0 and s["pmax_obs"] == 52300.0
+    assert s["modes"]["none"]["n_quiet"] == 1
+
+
 def test_docs_for_multiplier():
     assert rs.docs_for("cluster2", 20000) == 20000
     assert rs.docs_for("cluster2x3", 20000) == 60000

@@ -138,7 +138,8 @@ def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
     path = os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"])
     with open(path, "w") as f:
         json.dump({"n_docs": docs, "proto": proto, "results": results,
-                   "pmax": s["pmax"], "quiet_frac": QUIET_FRAC,
+                   "pmax": s["pmax"], "pmax_obs": s.get("pmax_obs"),
+                   "quiet_frac": QUIET_FRAC,
                    "summary": s["modes"]}, f, indent=1)
     write_report(n_docs, {p: _load_prior(p, docs_for(p, n_docs)) for p in PROTOCOLS})
 

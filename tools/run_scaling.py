@@ -386,6 +386,30 @@ DRIVER_PROTOCOL = {"min_sec": 4.74, "median_sec": 8.477,
 PROBE_HISTORY = os.path.join(REPO, "BENCH", "probe_history.jsonl")
 ERA_HALF_WINDOW = 3 * 3600.0
 
+# The quiet bar's ceiling must be robust to single-sample spikes. A probe
+# is a 1.2 s burst: one draw can catch a momentary scheduler alignment no
+# sustained window ever reproduces (observed 22:56 Aug 17: a lone 52.3k
+# sample 6% above every other one of 500+ same-shape samples that day).
+# With pmax = max(pool), the bar is an extreme order statistic of a
+# growing pool — it RATCHETS with sample count, so collecting more
+# evidence retroactively un-quiets measurements taken under identical
+# host conditions. Fix: once the pool is large (>= ROBUST_PMAX_MIN_POOL
+# distinct values), the ceiling is the SECOND-highest distinct sample —
+# a capacity level must be observed twice to count. Small pools keep the
+# plain max so a fresh trials file can never self-certify its own probes
+# as quiet (tests/test_scaling_summary.py pins both behaviors). The
+# single highest observation is still reported alongside (pmax_obs).
+ROBUST_PMAX_MIN_POOL = 20
+
+
+def _robust_pmax(vals) -> float:
+    vs = sorted(set(vals))
+    if not vs:
+        return 0.0
+    if len(vs) >= ROBUST_PMAX_MIN_POOL:
+        return vs[-2]
+    return vs[-1]
+
 
 def log_probe(cores: int, probe: float, tag: str = "") -> None:
     try:
@@ -420,7 +444,7 @@ def _era_pmax(t: float, cores: int, history: list[dict],
     vals = [h["probe"] for h in history
             if h.get("cores") == cores and lo <= h.get("t", -1) <= hi]
     vals += [p for (tt, p) in pair_probes if lo <= tt <= hi]
-    return max(vals, default=0.0)
+    return _robust_pmax(vals)
 
 
 def _summarize(results: dict, rev: str = KERNEL_REV,
@@ -436,21 +460,22 @@ def _summarize(results: dict, rev: str = KERNEL_REV,
     never a lumped "everything else": min-wall arms pair across pairs, so
     even a stale-only bucket must be single-revision or the same
     slow-small/fast-big artifact reappears among the stale rows."""
-    pmax = max((p[role]["probe"] for m in results for p in results[m]
-                for role in ("small", "big")),
-               default=0.0)
+    pool = [p[role]["probe"] for m in results for p in results[m]
+            for role in ("small", "big")]
     history = _load_probe_history() if probe_cores else []
-    # the quiet bar is a HOST ceiling: floor pmax by the best same-shape
-    # probe ever logged anywhere (probe_history), so a freshly-started
+    # the quiet bar is a HOST ceiling: pool the pair legs with every
+    # same-shape probe ever logged (probe_history), so a freshly-started
     # protocol file (e.g. cluster2x3's first pair) cannot self-certify its
     # own probes as "quiet" before it has seen the host's real ceiling
     if probe_cores:
-        pmax = max(pmax, max((h["probe"] for h in history
-                              if h.get("cores") == probe_cores), default=0.0))
+        pool += [h["probe"] for h in history
+                 if h.get("cores") == probe_cores]
+    pmax = _robust_pmax(pool)
+    pmax_obs = max(pool, default=0.0)
     # every recorded pair leg is itself a probe observation for era ceilings
     pair_pts = [(p["t"], p[role]["probe"]) for m in results for p in results[m]
                 if "t" in p for role in ("small", "big")]
-    summary = {"pmax": pmax, "modes": {}}
+    summary = {"pmax": pmax, "pmax_obs": pmax_obs, "modes": {}}
     for m in ("none", "parquet"):
         # untagged pairs are ALWAYS legacy (pre-tagging): defaulting them
         # to the current rev would count stale-kernel walls in current
@@ -533,7 +558,7 @@ def _band_rows(all_results: dict[str, dict]) -> list[str]:
     rows = ["| protocol | probe floor | best pair eff | pair min-probe | pair walls (N, 4N) |",
             "|---|---|---|---|---|"]
     for proto, res in all_results.items():
-        s = _summarize(res)
+        s = _summarize(res, probe_cores=PROTOCOLS[proto]["arms"][1][1])
         pmax = s["pmax"]
         pairs = [p for p in res["none"] if p.get("rev", "legacy") == KERNEL_REV]
         for floor in BAND_FLOORS:
@@ -932,6 +957,15 @@ protocol.
 (identical runs vary 3-7x). A pinned busy-loop CAPACITY PROBE runs
 immediately before every trial; a trial pair is QUIET when both its
 probes are within {int(QUIET_FRAC*100)}% of the session-best probe for its protocol.
+The ceiling is ROBUST: with a large sample pool (>= {ROBUST_PMAX_MIN_POOL}
+distinct same-shape probes) it is the SECOND-highest distinct sample — a
+1.2 s probe can catch a one-off scheduler alignment (a lone 52.3k draw,
+6% above all other 500+ samples that day, was observed mid-round-5), and
+a plain max is an extreme order statistic that ratchets with sample
+count, retroactively un-quieting measurements taken under identical host
+conditions. Small pools keep the plain max so a fresh protocol file
+cannot self-certify. The single highest observation (pmax_obs) stays in
+the trials JSON beside the bar.
 Reported: (a) min-wall per arm over all interleaved trials (capability),
 (b) the best quiet pair (both arms probe-quiet — the number a
 dedicated host would show), and (c) QUIET ARMS: the fastest probe-quiet
@@ -1051,10 +1085,11 @@ def main() -> None:
                           f"({r['tokens_per_sec']:,} tok/s, probe {probe/1e3:.0f}k)",
                           flush=True)
                 results[mode].append(pair)
-        s = _summarize(results)
+        s = _summarize(results, probe_cores=probe_cores)
         with open(os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"]), "w") as f:
             json.dump({"n_docs": docs, "proto": proto, "results": results,
-                       "pmax": s["pmax"], "quiet_frac": QUIET_FRAC,
+                       "pmax": s["pmax"], "pmax_obs": s["pmax_obs"],
+                       "quiet_frac": QUIET_FRAC,
                        "summary": s["modes"]}, f, indent=1)
 
     all_results = {p: _load_prior(p, docs_for(p, n_docs)) for p in PROTOCOLS}
