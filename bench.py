@@ -196,6 +196,21 @@ def ensure_token_table(spark, path: str) -> None:
     write_token_table(spark, path, n_docs=N_DOCS, base_seed=42, buckets=max(CPUS * 2, 16))
 
 
+def _trial_budget(trials: int, max_trials: int,
+                  is_trial_child: bool) -> tuple[int, int]:
+    """(base draws, cap) for the timed-trial loop. A scaling-trial LEG
+    runs a FIXED recipe: exactly `trials` timed passes, no adaptive
+    extension. The convergence loop is a headline-bench feature — for
+    legs it (a) stretched a leg from ~1 min to ~8 under noise, pushing
+    the pair's second leg far outside the quiet window that fired it, and
+    (b) made per-leg tree-CPU accounting (work-conservation evidence)
+    incomparable across arms, since each arm drew a different number of
+    passes. The scaling harness handles noise its own way (probe gating +
+    min-wall accumulation across many pairs)."""
+    base = max(trials, 1)
+    return (base, base) if is_trial_child else (base, max_trials)
+
+
 def _hold_dev_flag() -> str | None:
     """Claim /tmp/graft_dev_busy for the duration of this bench run so the
     opportunistic background loops (tools/quiet_capture.py trial pairs,
@@ -298,7 +313,9 @@ def main() -> None:
     # do (spreads ~1.1x) and nothing extra runs; under hypervisor steal
     # (3-7x swings) extra draws stop the reported min from reading the
     # wave instead of the pipeline. Full spread always lands in sec_all.
-    max_trials = int(os.environ.get("SPARK_GRAFT_MAX_TRIALS", "9"))
+    trials, max_trials = _trial_budget(
+        trials, int(os.environ.get("SPARK_GRAFT_MAX_TRIALS", "9")),
+        bool(os.environ.get("SPARK_GRAFT_TRIAL_CHILD")))
     # sink=none measures the scan+cascade compute phase only (used by the
     # scaling harness: on one box the single local disk is a fixed resource
     # that a real 4N-executor cluster would scale out; CPU is what the

@@ -216,6 +216,16 @@ def test_probe_gate_units_match_scaling_harness(benchmod):
     assert ra > 0 and rb > 0 and max(ra, rb) / min(ra, rb) < 3.0
 
 
+def test_trial_budget_fixed_recipe_for_legs(benchmod):
+    """Scaling-trial legs must run exactly `trials` passes (comparable
+    tree-CPU, bounded leg wall); the headline bench keeps the adaptive
+    convergence cap."""
+    assert benchmod._trial_budget(1, 9, is_trial_child=True) == (1, 1)
+    assert benchmod._trial_budget(3, 9, is_trial_child=True) == (3, 3)
+    assert benchmod._trial_budget(5, 9, is_trial_child=False) == (5, 9)
+    assert benchmod._trial_budget(0, 9, is_trial_child=True) == (1, 1)
+
+
 def test_probe_gate_quiet_classification(benchmod, monkeypatch):
     g = benchmod._ProbeGate.__new__(benchmod._ProbeGate)
     g.enabled = True

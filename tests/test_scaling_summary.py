@@ -155,9 +155,13 @@ def test_load_prior_keeps_cpu_annotation(monkeypatch, tmp_path):
 def test_work_conservation_section_renders(monkeypatch, tmp_path):
     monkeypatch.setattr(rs, "PROBE_HISTORY", str(tmp_path / "none.jsonl"))
     p1 = _pair(T0, 40000.0, 40000.0)
-    p1["small"]["cpu_s"] = 100.0
-    p1["big"]["cpu_s"] = 110.0
-    all_results = {"cluster2": {"none": [p1], "parquet": []}}
+    p1["small"].update(cpu_s=100.0, passes=1)
+    p1["big"].update(cpu_s=110.0, passes=1)
+    # pass-mismatched pair (adaptive-loop era): must be EXCLUDED
+    p2 = _pair(T0 + 50, 40000.0, 40000.0)
+    p2["small"].update(cpu_s=500.0, passes=2)
+    p2["big"].update(cpu_s=5375.0, passes=9)
+    all_results = {"cluster2": {"none": [p1, p2], "parquet": []}}
     monkeypatch.setattr(rs, "REPO", str(tmp_path))  # no cpu_floor.json
     txt = rs._work_conservation_section(all_results)
     assert "Work conservation" in txt

@@ -217,6 +217,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
                           "probe": probe, "tokens": r["tokens"]}
             if "cpu_s" in r:
                 pair[role]["cpu_s"] = r["cpu_s"]
+                pair[role]["passes"] = r.get("passes")
             _log(f"  {proto}/{mode} {label}: {r['sec']}s "
                  f"({r['tokens_per_sec']:,} tok/s, probe {probe / 1e3:.0f}k)")
     finally:

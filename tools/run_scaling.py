@@ -157,6 +157,9 @@ def run_once(cpus: int, n_docs: int, sink: str, master: str | None = None) -> di
         raise RuntimeError(f"bench.py failed (rc={rc}); stderr above")
     line = stdout.strip().splitlines()[-1]
     r = json.loads(line)["rollup"]
+    # number of timed passes this leg ran — cpu_s is only comparable
+    # between two legs that executed the same recipe (same pass count)
+    r["passes"] = len(r.get("sec_all", []) or [])
     if cpu_s is not None:
         # user+sys CPU seconds of the ENTIRE leg process tree (taskset ->
         # python -> JVM -> executor JVMs -> pyspark daemons), from
@@ -595,9 +598,15 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
     rows = []
     for proto, res in all_results.items():
         arms = PROTOCOLS[proto]["arms"]
+        # cpu_s is only comparable when both legs executed the SAME recipe
+        # (identical timed-pass count — legs recorded before the fixed-recipe
+        # change carry no 'passes' field and are excluded: the adaptive
+        # convergence loop could give one arm 9 passes and the other 2)
         pairs = [p for p in res["none"]
                  if p.get("rev", "legacy") == KERNEL_REV
-                 and "cpu_s" in p.get("small", {}) and "cpu_s" in p.get("big", {})]
+                 and "cpu_s" in p.get("small", {}) and "cpu_s" in p.get("big", {})
+                 and p["small"].get("passes") is not None
+                 and p["small"].get("passes") == p["big"].get("passes")]
         if not pairs:
             continue
         cs = sorted(p["small"]["cpu_s"] for p in pairs)
@@ -649,10 +658,12 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
     return f"""### Work conservation (host-noise-independent, compute phase)
 
 Total user+sys CPU seconds of each arm's WHOLE process tree (os.wait4
-rusage: driver JVM, executor JVMs, pyspark daemons), current kernel
-({KERNEL_REV}), median over annotated pairs. Steal time is never charged
-to a process, so this measures the work an arm performed regardless of
-host noise. Work conservation = median CPU(N arm) / median CPU(4N arm):
+rusage + /proc subtree sampler: driver JVM, executor JVMs, pyspark
+daemons), current kernel ({KERNEL_REV}), median over annotated pairs
+whose two legs executed the identical fixed recipe (same timed-pass
+count — legs predating the fixed-recipe change are excluded). Steal time
+is never charged to a process, so this measures the work an arm
+performed regardless of host noise. Work conservation = median CPU(N arm) / median CPU(4N arm):
 1.0 means 4x the executors perform the SAME total work (no
 parallelization overhead — scaling then reduces to core delivery, which
 the capacity probes and the R=0.868 wide-set tax quantify separately);
@@ -1081,6 +1092,7 @@ def main() -> None:
                                   "probe": probe, "tokens": r["tokens"]}
                     if "cpu_s" in r:
                         pair[role]["cpu_s"] = r["cpu_s"]
+                        pair[role]["passes"] = r.get("passes")
                     print(f"[{proto}/{mode}] trial {t} {label}: {r['sec']}s "
                           f"({r['tokens_per_sec']:,} tok/s, probe {probe/1e3:.0f}k)",
                           flush=True)
