@@ -165,15 +165,16 @@ def test_work_conservation_section_renders(monkeypatch, tmp_path):
     monkeypatch.setattr(rs, "REPO", str(tmp_path))  # no cpu_floor.json
     txt = rs._work_conservation_section(all_results)
     assert "Work conservation" in txt
-    assert "| cluster2 | 1 | 100.0s | 110.0s | 0.909 | — |" in txt
-    # with a floor file: adjusted column = (100-10)/(110-30)
+    # no floor file: marginal == raw; p2 excluded (2 vs 9 passes)
+    assert "| cluster2 | 1 | 100.0s | 110.0s | 0.909 | 0.909 |" in txt
+    # with a floor file: marginal = (100-10) vs (110-30) -> wc 1.125
     os.makedirs(tmp_path / "BENCH", exist_ok=True)
     with open(tmp_path / "BENCH" / "cpu_floor.json", "w") as f:
         json.dump({"n_docs": 200, "arms": {
             "local-cluster[2,2,4096]": {"cpu_s": 10.0},
             "local-cluster[8,2,4096]": {"cpu_s": 30.0}}}, f)
     txt = rs._work_conservation_section(all_results)
-    assert "| 0.909 | 1.125 |" in txt
+    assert "| cluster2 | 1 | 90.0s | 80.0s | 1.125 | 1.125 |" in txt
     # pairs without cpu_s annotations: section omitted entirely
     assert rs._work_conservation_section(
         {"cluster2": {"none": [_pair(T0, 1.0, 1.0)], "parquet": []}}) == ""

@@ -609,20 +609,16 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
                  and p["small"].get("passes") == p["big"].get("passes")]
         if not pairs:
             continue
-        cs = sorted(p["small"]["cpu_s"] for p in pairs)
-        cb = sorted(p["big"]["cpu_s"] for p in pairs)
-        med_s, med_b = cs[len(cs) // 2], cb[len(cb) // 2]
-        wc = med_s / med_b if med_b else None
-        fs = floors.get(arms[0][0], {}).get("cpu_s")
-        fb = floors.get(arms[1][0], {}).get("cpu_s")
-        adj = ""
-        if fs is not None and fb is not None and med_b > fb:
-            wc_adj = (med_s - fs) / (med_b - fb)
-            adj = f"{wc_adj:.3f}"
-        else:
-            adj = "—"
-        rows.append(f"| {proto} | {len(pairs)} | {med_s:.1f}s | {med_b:.1f}s "
-                    f"| {wc:.3f} | {adj} |")
+        fs = floors.get(arms[0][0], {}).get("cpu_s") or 0.0
+        fb = floors.get(arms[1][0], {}).get("cpu_s") or 0.0
+        ms = sorted(max(p["small"]["cpu_s"] - fs, 0.0) for p in pairs)
+        mb = sorted(max(p["big"]["cpu_s"] - fb, 0.0) for p in pairs)
+        wc_min = ms[0] / mb[0] if mb[0] else None
+        wc_med = (ms[len(ms) // 2] / mb[len(mb) // 2]
+                  if mb[len(mb) // 2] else None)
+        rows.append(
+            f"| {proto} | {len(pairs)} | {ms[0]:.1f}s | {mb[0]:.1f}s "
+            f"| {_fmt_eff(wc_min)} | {_fmt_eff(wc_med)} |")
     if not rows:
         return ""
     balance_line = (
@@ -654,26 +650,27 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
             f"{prof['big']['gc_frac']:.1%} of task time, max task "
             f"{prof['small']['max_task_s']}s / {prof['big']['max_task_s']}s — "
             f"no straggler tail at either width. Dedicated-host efficiency "
-            f"~= work conservation (floor-adjusted) x balance ratio.")
+            f"~= wc (min) x balance ratio.")
     return f"""### Work conservation (host-noise-independent, compute phase)
 
 Total user+sys CPU seconds of each arm's WHOLE process tree (os.wait4
 rusage + /proc subtree sampler: driver JVM, executor JVMs, pyspark
-daemons), current kernel ({KERNEL_REV}), median over annotated pairs
-whose two legs executed the identical fixed recipe (same timed-pass
-count — legs predating the fixed-recipe change are excluded). Steal time
-is never charged to a process, so this measures the work an arm
-performed regardless of host noise. Work conservation = median CPU(N arm) / median CPU(4N arm):
-1.0 means 4x the executors perform the SAME total work (no
-parallelization overhead — scaling then reduces to core delivery, which
-the capacity probes and the R=0.868 wide-set tax quantify separately);
-values below 1.0 measure the extra work the wide arm pays (more JVMs:
-startup, JIT, GC threads). The floor-adjusted column subtracts each arm
-shape's near-empty-job CPU floor (BENCH/cpu_floor.json: same harness,
-200 docs) — the fixed cost a real cluster pays once per executor, not
-per byte, leaving the marginal per-token work ratio.
+daemons), current kernel ({KERNEL_REV}), over annotated pairs whose two
+legs executed the identical fixed recipe (same timed-pass count — legs
+predating the fixed-recipe change are excluded). Each figure is MARGINAL
+CPU: the arm shape's near-empty-job floor (BENCH/cpu_floor.json — JVM
+startup/JIT per executor, a cost a real cluster pays once per executor
+lifetime, not per byte) is subtracted first. Hypervisor STEAL is never
+charged to a process, but memory/cache CONTENTION is (same instructions,
+worse IPC -> more CPU-seconds), and it can only INFLATE the figure — so
+the MINIMUM marginal CPU per role is the estimator of the work the arm
+truly performs (exactly min-wall's logic, on a far more noise-stable
+quantity; the median is shown for spread). Work conservation =
+marginal CPU(N) / marginal CPU(4N): 1.0 means 4x the executors perform
+the same total work and scaling reduces to core delivery, which the
+capacity probes and the R=0.868 wide-set tax quantify separately.
 
-| protocol | pairs | med CPU (N) | med CPU (4N) | work conservation | floor-adjusted |
+| protocol | pairs | min marginal CPU (N) | min marginal CPU (4N) | wc (min) | wc (median) |
 |---|---|---|---|---|---|
 {os.linesep.join(rows)}
 
