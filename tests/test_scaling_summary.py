@@ -193,3 +193,30 @@ def test_fresh_protocol_cannot_self_certify_quiet(monkeypatch, tmp_path):
     assert s["pmax"] == 46000.0
     assert sm["n_quiet"] == 0          # absolute bar: not quiet
     assert sm["n_quiet_era"] == 0      # era ceiling 46k within +-3h: not quiet
+
+
+def test_proto_rev_layout_suffix_and_bucketing():
+    """cluster2x3 carries an input-LAYOUT-suffixed rev (the 60k table was
+    rewritten with bounded row groups mid-round-5); every other protocol
+    stays on the global KERNEL_REV, and _summarize must keep pre-fix pairs
+    out of the suffixed bucket (and vice versa)."""
+    assert rs.proto_rev("cluster2x3") == rs.KERNEL_REV + "+rg2m"
+    for proto in rs.PROTOCOLS:
+        if proto != "cluster2x3":
+            assert rs.proto_rev(proto) == rs.KERNEL_REV
+
+    old = _pair(T0, 40000.0, 40000.0, sec_s=80.0, sec_b=40.0)  # fat-rg era
+    new = _pair(T0 + 100, 40000.0, 40000.0, sec_s=50.0, sec_b=17.0)
+    new["rev"] = rs.proto_rev("cluster2x3")
+    results = {"none": [old, new], "parquet": []}
+
+    s_new = rs._summarize(results, rev=rs.proto_rev("cluster2x3"))
+    sm = s_new["modes"]["none"]
+    assert sm["n_pairs"] == 1
+    assert sm["best_small"]["sec"] == 50.0 and sm["best_big"]["sec"] == 17.0
+    # min-wall must NOT pair the old slow small arm with the new fast big
+    assert abs(sm["eff_min"] - 50.0 / (4 * 17.0)) < 1e-9
+
+    s_old = rs._summarize(results, rev=rs.KERNEL_REV)
+    smo = s_old["modes"]["none"]
+    assert smo["n_pairs"] == 1 and smo["best_big"]["sec"] == 40.0

@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import (  # noqa: E402
-    KERNEL_REV, PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize,
+    KERNEL_REV, PROTOCOLS, QUIET_FRAC, REPO, _load_prior, _summarize, proto_rev,
     capacity_probe, docs_for, log_probe, run_once, write_report,
 )
 
@@ -87,7 +87,8 @@ def _state(n_docs: int) -> dict:
     out = {}
     for proto in PROTOCOLS:
         res = _load_prior(proto, docs_for(proto, n_docs))
-        s = _summarize(res, probe_cores=PROTOCOLS[proto]["arms"][1][1])
+        s = _summarize(res, rev=proto_rev(proto),
+                       probe_cores=PROTOCOLS[proto]["arms"][1][1])
         for mode in ("none", "parquet"):
             sm = s["modes"][mode]
             out[(proto, mode)] = {
@@ -134,7 +135,8 @@ def _save_pair(proto: str, mode: str, n_docs: int, pair: dict) -> None:
     docs = docs_for(proto, n_docs)
     results = _load_prior(proto, docs)
     results[mode].append(pair)
-    s = _summarize(results, probe_cores=PROTOCOLS[proto]["arms"][1][1])
+    s = _summarize(results, rev=proto_rev(proto),
+                   probe_cores=PROTOCOLS[proto]["arms"][1][1])
     path = os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"])
     with open(path, "w") as f:
         json.dump({"n_docs": docs, "proto": proto, "results": results,
@@ -161,7 +163,7 @@ def run_pair(proto: str, mode: str, n_docs: int,
     on the trial flag (harmless), so mid-pair checks are not needed."""
     arms = PROTOCOLS[proto]["arms"]
     probe_cores = arms[1][1]
-    pair = {"rev": KERNEL_REV, "t": time.time()}
+    pair = {"rev": proto_rev(proto), "t": time.time()}
     docs = docs_for(proto, n_docs)
     open(TRIAL_FLAG, "w").close()
     try:
