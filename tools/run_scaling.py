@@ -743,6 +743,15 @@ measured wide-set DRAM/hypervisor tax, not engine serialization.
 Pre-fix pairs stay on disk under `{KERNEL_REV}`; post-fix pairs accrue
 under `{KERNEL_REV}+rg2m` and are never mixed.
 
+The 20k table (64 x ~2MB single-rg files = 64 real tasks) has the same
+property in miniature: an A/B against a 512KB-rg copy at local[32]
+(3 interleaved passes each, same session) read [5.56, 5.74, 6.15]s vs
+[5.12, 5.14, 5.68]s — ~8-10% from 2 -> 8 scheduling waves. Deliberately
+NOT taken this round: regenerating the 20k table would orphan every
+accumulated 20k quiet pair (local2/local8/cluster2 banks) for an ~8%
+headline gain; the lesson is applied where it was pathological (60k)
+and recorded here where it is marginal.
+
 | input | pairs | eff (min-wall) | eff (quiet arms) | best N wall | best 4N wall |
 |---|---|---|---|---|---|
 {os.linesep.join(rows)}
