@@ -1149,7 +1149,7 @@ def main() -> None:
                           f"({r['tokens_per_sec']:,} tok/s, probe {probe/1e3:.0f}k)",
                           flush=True)
                 results[mode].append(pair)
-        s = _summarize(results, probe_cores=probe_cores)
+        s = _summarize(results, rev=proto_rev(proto), probe_cores=probe_cores)
         with open(os.path.join(REPO, "BENCH", PROTOCOLS[proto]["file"]), "w") as f:
             json.dump({"n_docs": docs, "proto": proto, "results": results,
                        "pmax": s["pmax"], "pmax_obs": s["pmax_obs"],
@@ -1158,7 +1158,7 @@ def main() -> None:
 
     all_results = {p: _load_prior(p, docs_for(p, n_docs)) for p in PROTOCOLS}
     for proto, res in all_results.items():
-        s = _summarize(res)
+        s = _summarize(res, rev=proto_rev(proto))
         for m in ("none", "parquet"):
             sm = s["modes"][m]
             if sm:
