@@ -166,7 +166,7 @@ def test_work_conservation_section_renders(monkeypatch, tmp_path):
     txt = rs._work_conservation_section(all_results)
     assert "Work conservation" in txt
     # no floor file: marginal == raw; p2 excluded (2 vs 9 passes)
-    assert "| cluster2 | 1 | 100.0s | 110.0s | 0.909 | 0.909 |" in txt
+    assert "| cluster2 | compute | 1 | 100.0s | 110.0s | 0.909 | 0.909 |" in txt
     # with a floor file: marginal = (100-10) vs (110-30) -> wc 1.125
     os.makedirs(tmp_path / "BENCH", exist_ok=True)
     with open(tmp_path / "BENCH" / "cpu_floor.json", "w") as f:
@@ -174,7 +174,14 @@ def test_work_conservation_section_renders(monkeypatch, tmp_path):
             "local-cluster[2,2,4096]": {"cpu_s": 10.0},
             "local-cluster[8,2,4096]": {"cpu_s": 30.0}}}, f)
     txt = rs._work_conservation_section(all_results)
-    assert "| cluster2 | 1 | 90.0s | 80.0s | 1.125 | 1.125 |" in txt
+    assert "| cluster2 | compute | 1 | 90.0s | 80.0s | 1.125 | 1.125 |" in txt
+    # e2e pairs get their own phase row (same floors)
+    p3 = _pair(T0 + 99, 40000.0, 40000.0)
+    p3["small"].update(cpu_s=130.0, passes=1)
+    p3["big"].update(cpu_s=150.0, passes=1)
+    all_results["cluster2"]["parquet"] = [p3]
+    txt = rs._work_conservation_section(all_results)
+    assert "| cluster2 | e2e | 1 | 120.0s | 120.0s | 1.000 | 1.000 |" in txt
     # pairs without cpu_s annotations: section omitted entirely
     assert rs._work_conservation_section(
         {"cluster2": {"none": [_pair(T0, 1.0, 1.0)], "parquet": []}}) == ""

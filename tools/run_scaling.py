@@ -618,24 +618,31 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
         # cpu_s is only comparable when both legs executed the SAME recipe
         # (identical timed-pass count — legs recorded before the fixed-recipe
         # change carry no 'passes' field and are excluded: the adaptive
-        # convergence loop could give one arm 9 passes and the other 2)
-        pairs = [p for p in res["none"]
-                 if p.get("rev", "legacy") == proto_rev(proto)
-                 and "cpu_s" in p.get("small", {}) and "cpu_s" in p.get("big", {})
-                 and p["small"].get("passes") is not None
-                 and p["small"].get("passes") == p["big"].get("passes")]
-        if not pairs:
-            continue
-        fs = floors.get(arms[0][0], {}).get("cpu_s") or 0.0
-        fb = floors.get(arms[1][0], {}).get("cpu_s") or 0.0
-        ms = sorted(max(p["small"]["cpu_s"] - fs, 0.0) for p in pairs)
-        mb = sorted(max(p["big"]["cpu_s"] - fb, 0.0) for p in pairs)
-        wc_min = ms[0] / mb[0] if mb[0] else None
-        wc_med = (ms[len(ms) // 2] / mb[len(mb) // 2]
-                  if mb[len(mb) // 2] else None)
-        rows.append(
-            f"| {proto} | {len(pairs)} | {ms[0]:.1f}s | {mb[0]:.1f}s "
-            f"| {_fmt_eff(wc_min)} | {_fmt_eff(wc_med)} |")
+        # convergence loop could give one arm 9 passes and the other 2).
+        # Both phases shown: the parquet (e2e) arms share one virtio disk,
+        # so their WALLS are disk-coupled, but CPU accounting still reads
+        # the compute work each arm performed — work conservation on the
+        # e2e legs separates "the engine serialized" from "the disk did".
+        # Floors are per arm SHAPE (near-empty compute job); the sink adds
+        # write work to both arms identically at these row counts.
+        for m, phase in (("none", "compute"), ("parquet", "e2e")):
+            pairs = [p for p in res[m]
+                     if p.get("rev", "legacy") == proto_rev(proto)
+                     and "cpu_s" in p.get("small", {}) and "cpu_s" in p.get("big", {})
+                     and p["small"].get("passes") is not None
+                     and p["small"].get("passes") == p["big"].get("passes")]
+            if not pairs:
+                continue
+            fs = floors.get(arms[0][0], {}).get("cpu_s") or 0.0
+            fb = floors.get(arms[1][0], {}).get("cpu_s") or 0.0
+            ms = sorted(max(p["small"]["cpu_s"] - fs, 0.0) for p in pairs)
+            mb = sorted(max(p["big"]["cpu_s"] - fb, 0.0) for p in pairs)
+            wc_min = ms[0] / mb[0] if mb[0] else None
+            wc_med = (ms[len(ms) // 2] / mb[len(mb) // 2]
+                      if mb[len(mb) // 2] else None)
+            rows.append(
+                f"| {proto} | {phase} | {len(pairs)} | {ms[0]:.1f}s | {mb[0]:.1f}s "
+                f"| {_fmt_eff(wc_min)} | {_fmt_eff(wc_med)} |")
     if not rows:
         return ""
     balance_line = (
@@ -668,7 +675,7 @@ def _work_conservation_section(all_results: dict[str, dict]) -> str:
             f"{prof['small']['max_task_s']}s / {prof['big']['max_task_s']}s — "
             f"no straggler tail at either width. Dedicated-host efficiency "
             f"~= wc (min) x balance ratio.")
-    return f"""### Work conservation (host-noise-independent, compute phase)
+    return f"""### Work conservation (host-noise-independent; compute and e2e phases)
 
 Total user+sys CPU seconds of each arm's WHOLE process tree (os.wait4
 rusage + /proc subtree sampler: driver JVM, executor JVMs, pyspark
@@ -687,8 +694,8 @@ marginal CPU(N) / marginal CPU(4N): 1.0 means 4x the executors perform
 the same total work and scaling reduces to core delivery, which the
 capacity probes and the R=0.868 wide-set tax quantify separately.
 
-| protocol | pairs | min marginal CPU (N) | min marginal CPU (4N) | wc (min) | wc (median) |
-|---|---|---|---|---|---|
+| protocol | phase | pairs | min marginal CPU (N) | min marginal CPU (4N) | wc (min) | wc (median) |
+|---|---|---|---|---|---|---|
 {os.linesep.join(rows)}
 
 {balance_line} Wall-clock ratios below that
