@@ -117,10 +117,11 @@ def test_catalog_seam_swaps_via_config(spark, tmp_path):
         recorded call log proves the engine drives only the protocol."""
 
         def commit(self, spark, table, df, mode="append",
-                   partition_by=None, meta=None):
+                   partition_by=None, meta=None, row_group_bytes=None):
             calls.append(f"commit:{table}:{mode}")
             return super().commit(spark, table, df, mode=mode,
-                                  partition_by=partition_by, meta=meta)
+                                  partition_by=partition_by, meta=meta,
+                                  row_group_bytes=row_group_bytes)
 
         def read(self, spark, table, snapshot_id=None):
             calls.append(f"read:{table}")
@@ -155,3 +156,34 @@ def test_catalog_seam_swaps_via_config(spark, tmp_path):
     # the engine committed tiers + lineage through the seam, nothing else
     assert any(c.startswith("commit:tiers") for c in calls)
     assert any(c.startswith("commit:lineage") for c in calls)
+
+
+def test_bootstrap_commit_bounds_row_groups(spark, tmp_path):
+    """The raw token tier must never land as one fat row group per file:
+    parquet readers cannot split a row group, so an unbounded write caps
+    every downstream scan at file-count parallelism (measured 2.2x wall on
+    the 60k bench table — docs/PLANS.md 'Input layout'). bootstrap_tokens
+    passes row_group_bytes=2MB through catalog.commit; a doc population
+    big enough to exceed 2MB/bucket must produce multi-rg files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cat = IcebergLiteCatalog(str(tmp_path / "wh_rg"))
+    # ~800 docs x ~2000 tokens x 4B ~= 6.4MB raw in one bucket -> the
+    # bucket file must split into >1 row group at the 2MB bound
+    bootstrap_tokens(spark, cat, "tokens", n_docs=800, n_buckets=1,
+                     mean_len=2000.0)
+    files = glob.glob(str(tmp_path / "wh_rg" / "tokens" / "data" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    n_rgs, max_rg = 0, 0
+    for fn in files:
+        md = pq.ParquetFile(fn).metadata
+        n_rgs += md.num_row_groups
+        for i in range(md.num_row_groups):
+            max_rg = max(max_rg, md.row_group(i).total_byte_size)
+    assert n_rgs > len(files), "each file landed as a single row group"
+    # compressed rg size can exceed the uncompressed block target slightly
+    # on the final flush; generous 4x bound still catches the 25MB failure
+    assert max_rg < 4 * (2 << 20)

@@ -34,7 +34,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 QUIET_FRAC = float(os.environ.get("SPARK_GRAFT_QUIET_FRAC", "0.93"))
-OUT = os.path.join(REPO, "BENCH", "mp_ceiling.json")
+OUT = os.environ.get(
+    "SPARK_GRAFT_MP_CEILING_OUT",
+    os.path.join(REPO, "BENCH", "mp_ceiling.json"))
 
 SMALL = list(range(4))    # = taskset 0-3  (local-cluster[2,2] arm)
 BIG = list(range(16))     # = taskset 0-15 (local-cluster[8,2] arm)

@@ -769,22 +769,39 @@ def _host_ceiling_section(all_results: dict[str, dict] | None = None) -> str:
     """Quantified host ceiling for the 4-vs-16-pinned-core shape, from the
     no-Spark controls (tools/mp_ceiling.py, tools/probe_sampler.py)."""
     lines = []
-    mp_path = os.path.join(REPO, "BENCH", "mp_ceiling.json")
-    if os.path.exists(mp_path):
+    for fn, label in (("mp_ceiling.json", ""),
+                      ("mp_ceiling_60k.json", " at the 3x (60k-doc) input")):
+        mp_path = os.path.join(REPO, "BENCH", fn)
+        if not os.path.exists(mp_path):
+            continue
         with open(mp_path) as f:
             d = json.load(f)
         hist = d["pairs"]
         t_small = min(p["small"]["sec"] for p in hist)
         t_big = min(p["big"]["sec"] for p in hist)
         lines.append(
-            f"**No-engine control (tools/mp_ceiling.py):** the exact cascade "
-            f"kernel (gen_doc + rollup_doc, {d['n_docs']} docs) as plain pinned "
+            f"**No-engine control{label} (tools/mp_ceiling.py):** the exact "
+            f"cascade kernel (gen_doc + rollup_doc, {d['n_docs']} docs) as "
+            f"plain pinned "
             f"multiprocessing — no Spark/JVM/Arrow — on the same core sets the "
             f"cluster2 arms use reads **{t_small / (4 * t_big):.3f} min-wall "
             f"efficiency** over {len(hist)} pairs (best walls {t_small}s @4c, "
             f"{t_big}s @16c). Any engine running the same kernel on the same "
             f"cores is bounded by this host number; Spark efficiency should be "
             f"read relative to it.")
+        if fn == "mp_ceiling_60k.json" and all_results and "cluster2x3" in all_results:
+            s3 = _summarize(all_results["cluster2x3"], rev=proto_rev("cluster2x3"))
+            sm3 = s3["modes"]["none"]
+            if sm3 and sm3.get("eff_min"):
+                ceil = t_small / (4 * t_big)
+                lines.append(
+                    f"**Engine-relative cluster2x3 efficiency:** post-layout-fix "
+                    f"pair {sm3['eff_min']:.3f} (raw) / no-engine 60k ceiling "
+                    f"{ceil:.3f} = **{sm3['eff_min'] / ceil:.3f}** — at the "
+                    f"amortized input the Spark engine delivers that fraction of what "
+                    f"the bare kernel achieves on the identical pinned core "
+                    f"sets; the remaining gap to 1.0 raw is the host's "
+                    f"wide-set capacity delivery, not engine serialization.")
     lines.append(
         "**Fixed per-job overhead is NOT the gap (measured round 4):** a "
         "near-empty run (200 docs, compute <0.2s) through the identical "

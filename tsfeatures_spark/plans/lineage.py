@@ -155,5 +155,9 @@ def bootstrap_tokens(spark, catalog: IcebergLiteCatalog, table: str, n_docs: int
 
     df = token_table(spark, n_docs, base_seed, mean_len=mean_len)
     df = df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+    # bound row groups on the wide-payload raw tier: with few buckets each
+    # file would otherwise land as one fat row group and cap downstream
+    # scan parallelism at file count (see catalog.commit docstring)
     return catalog.commit(spark, table, df.repartition(n_buckets, "bucket"),
-                          mode="overwrite", partition_by=["bucket"])
+                          mode="overwrite", partition_by=["bucket"],
+                          row_group_bytes=2 << 20)

@@ -70,16 +70,28 @@ class IcebergLiteCatalog:
 
     # -- commit ----------------------------------------------------------------
     def commit(self, spark, table: str, df, mode: str = "append",
-               partition_by: list[str] | None = None, meta: dict | None = None) -> int:
+               partition_by: list[str] | None = None, meta: dict | None = None,
+               row_group_bytes: int | None = None) -> int:
         """Write df as a new immutable snapshot. mode: 'append' keeps the
         parent's files in the manifest; 'overwrite' starts fresh. The commit
         is atomic: data lands under a fresh uuid dir, the manifest is
-        written, then VERSION flips via os.replace (POSIX-atomic)."""
+        written, then VERSION flips via os.replace (POSIX-atomic).
+
+        ``row_group_bytes`` bounds the parquet row-group size of the
+        snapshot's files. Parquet readers cannot split a row group, so it —
+        not maxPartitionBytes — is the lower bound on downstream scan-task
+        granularity: a write partition smaller than the 128MB default block
+        size lands as ONE row group and its whole file becomes a single
+        scan task. Set it for wide-payload tables (token arrays) whose
+        per-file bytes are below the default; per-window tier rows are
+        thousands of rows per MB and never hit the bound."""
         tdir = self._tdir(table)
         os.makedirs(self._snapdir(table), exist_ok=True)
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(tdir, "data", commit_id)
         writer = df.write.mode("overwrite").option("compression", "zstd")
+        if row_group_bytes:
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
@@ -148,7 +160,12 @@ class CatalogProtocol(Protocol):
 
     def commit(self, spark, table: str, df, mode: str = "append",
                partition_by: list[str] | None = None,
-               meta: dict | None = None) -> int: ...
+               meta: dict | None = None,
+               row_group_bytes: int | None = None) -> int: ...
+    # row_group_bytes is a write-LAYOUT hint, part of the contract because
+    # scan granularity is a table property the engine depends on (Iceberg
+    # spells it `write.parquet.row-group-size-bytes`); implementations may
+    # honor it or apply their own table-level default, never ignore scans
 
     def read(self, spark, table: str, snapshot_id: int | None = None): ...
 
