@@ -202,6 +202,35 @@ def test_fresh_protocol_cannot_self_certify_quiet(monkeypatch, tmp_path):
     assert sm["n_quiet_era"] == 0      # era ceiling 46k within +-3h: not quiet
 
 
+def test_north_rule_verdict_labels(monkeypatch, tmp_path):
+    """The computed north-rule table must label each proxy from its own
+    controlled figure: >=0.8 meets the bar outright; a ceiling-bound proxy
+    within 95% of its measured no-engine ceiling reads 'at the host
+    ceiling'; no ceiling evidence + low eff reads 'below the bar here'."""
+    monkeypatch.setattr(rs, "PROBE_HISTORY", str(tmp_path / "none.jsonl"))
+    monkeypatch.setattr(rs, "REPO", str(tmp_path))  # no mp_ceiling*.json
+
+    # quiet self-consistent pairs (equal probes -> both arms clear the bar)
+    meets = _pair(T0, 46000.0, 46000.0, sec_b=40.0 / (4 * 0.85))   # 0.850
+    at_ceil = _pair(T0, 46000.0, 46000.0, sec_b=40.0 / (4 * 0.68))  # 0.680
+    below = _pair(T0, 46000.0, 46000.0, sec_b=40.0 / (4 * 0.60))   # 0.600
+    e2e = _pair(T0, 46000.0, 46000.0, sec_b=40.0 / (4 * 0.75))     # 0.750
+    txt = rs._north_rule_verdict({
+        "local2": {"none": [meets], "parquet": [e2e]},
+        "local8": {"none": [at_ceil], "parquet": []},
+        "cluster2": {"none": [below], "parquet": []},
+    })
+    rows = {ln.split("|")[1].strip(): ln for ln in txt.splitlines()
+            if ln.startswith("| ")}
+    assert "**meets the >=0.8 bar**" in rows["local2"]
+    assert "~1.0 (arms under host capacity)" in rows["local2"]
+    # local8: measured ceiling 0.69 -> rel 0.68/0.69 = 0.99 -> at ceiling
+    assert "| 0.69 | 0.99 | at the host ceiling |" in rows["local8"]
+    # cluster2: no mp_ceiling.json under the patched REPO -> no rel column
+    assert "below the bar here" in rows["cluster2"]
+    assert "local2 e2e 0.750" in txt
+
+
 def test_proto_rev_layout_suffix_and_bucketing():
     """cluster2x3 carries an input-LAYOUT-suffixed rev (the 60k table was
     rewritten with bounded row groups mid-round-5); every other protocol
