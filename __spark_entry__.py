@@ -842,14 +842,19 @@ def emb_dup_pairs_lsh(spark, sf_dir):
 # --- formerly rows-only checks, now under the DuckDB oracle gate ----------
 
 
-def _doubled_docs(spark, sf_dir):
+def _doubled_docs(spark, sf_dir, repartition=True):
     """documents ∪ exact copies under 'copy-' ids — a corpus with PLANTED
     exact duplicates whose ground-truth pair set DuckDB can enumerate.
     Repartitioned: the test parquet is a single small file (1 input split),
     which would serialize the signature mapInPandas onto one core — real
-    corpora arrive in thousands of splits."""
+    corpora arrive in thousands of splits. ``repartition=False`` (r06) for
+    the text-LOOKUP side of the gate queries: no kernel runs over it, so
+    the exchange was a pure extra shuffle of the text bytes before the
+    join (plan diff: one Exchange removed per lookup side)."""
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     doubled = d.unionByName(d.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id")))
+    if not repartition:
+        return doubled
     return doubled.repartition(int(spark.sparkContext.defaultParallelism))
 
 
@@ -864,22 +869,31 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     doubled = _doubled_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(doubled, num_hashes=64, bands=16).where(F.col("est_jaccard") >= 1.0)
-    t = _doubled_docs(spark, sf_dir)
+    t = _doubled_docs(spark, sf_dir, repartition=False)
+    # the corpus also contains NATURAL near-identical pairs whose true
+    # shingle jaccard is ~1 (est 1.0 is then the CORRECT estimate, not
+    # a false positive, but DuckDB cannot enumerate them) — restrict
+    # the oracle contract to the planted (x, copy-x) pairs, all of
+    # which minhash-LSH must find with est exactly 1.0. The planted
+    # relation is filtered EXPLICITLY (ADVICE r03: a naturally
+    # identical-text pair in a regenerated fixture must not reach the
+    # gate) and the emitted ordering normalized to (base, copy-base)
+    # so the result is invariant to how pair ids happen to sort.
+    # r06: the planted-relation filter is applied BEFORE the text joins
+    # (conjunctive filters commute with inner joins — identical rows) and
+    # the small filtered pair set is the explicit broadcast build side, so
+    # neither text-lookup join shuffles or broadcasts the full doubled
+    # corpus (plan diff: the two text-table BroadcastExchanges replaced by
+    # one small pair-side broadcast per join).
+    pairs = pairs.where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
+                        | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
+    j1 = t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta").join(
+        F.broadcast(pairs), "id_a")
+    j2 = t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb").join(
+        F.broadcast(j1), "id_b")
     return (
-        pairs.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
-        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
-        # the corpus also contains NATURAL near-identical pairs whose true
-        # shingle jaccard is ~1 (est 1.0 is then the CORRECT estimate, not
-        # a false positive, but DuckDB cannot enumerate them) — restrict
-        # the oracle contract to the planted (x, copy-x) pairs, all of
-        # which minhash-LSH must find with est exactly 1.0. The planted
-        # relation is filtered EXPLICITLY (ADVICE r03: a naturally
-        # identical-text pair in a regenerated fixture must not reach the
-        # gate) and the emitted ordering normalized to (base, copy-base)
-        # so the result is invariant to how pair ids happen to sort.
+        j2
         .where(F.col("ta") == F.col("tb"))
-        .where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
-               | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
         .select(
             # orientation keyed on the EXACT planted relation (ADVICE r04:
             # a base id that itself starts with 'copy-' must not flip)
@@ -904,7 +918,7 @@ def dedup_simhash(spark, sf_dir):
 
     doubled = _doubled_docs(spark, sf_dir)
     pairs = simhash_near_pairs(doubled, max_hamming=2)
-    t = _doubled_docs(spark, sf_dir)
+    t = _doubled_docs(spark, sf_dir, repartition=False)
     return (
         pairs.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
         .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")

@@ -150,3 +150,50 @@ def test_rebatch_byte_budget_bounds_long_docs():
     small = pd.DataFrame({"doc_id": [f"s{i}" for i in range(10)], "text": ["ab"] * 10})
     out3 = list(_rebatch(iter([small] * 3), 15, text_col="text"))
     assert [len(b) for b in out3] == [20, 10]
+
+
+def test_minhash_pairs_match_per_doc_reference(spark):
+    """r06 exact-dup-collapse restructure: minhash_lsh_pairs computes
+    signatures per UNIQUE text and re-expands pairs across md5 groups —
+    the emitted (id_a, id_b, est_jaccard) set must be value-identical to
+    the per-doc formulation (signatures for every doc, band all of them,
+    candidate = any shared band, est = fraction of agreeing hashes)."""
+    from tsfeatures_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    rng = np.random.default_rng(11)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "sed", "eiusmod"]
+    base = [" ".join(rng.choice(words, size=int(rng.integers(5, 40)))) for _ in range(40)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((f"d{i:03d}", t))
+    # planted identical group (k=6 copies of one text), a pair of copies
+    # of another, and near-dups (one word changed)
+    for k in range(6):
+        rows.append((f"grp-{k}", base[0]))
+    rows.append(("pair-x", base[1]))
+    near = base[2].split()
+    near[0] = "changed"
+    rows.append(("near-x", " ".join(near)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()
+    }
+
+    # per-doc reference: signatures for EVERY doc via the (unchanged)
+    # signature operator, banding + est in plain python
+    sig_rows = minhash_signatures(df, num_hashes=16).collect()
+    sigs = {r.doc_id: tuple(r.sig) for r in sig_rows}
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sigs[a], sigs[b]
+            shared_band = any(sa[j * 4:(j + 1) * 4] == sb[j * 4:(j + 1) * 4] for j in range(4))
+            if shared_band:
+                expect[(a, b)] = sum(x == y for x, y in zip(sa, sb)) / 16.0
+    assert got == expect
+    # the planted 6-identical group must appear as all 15 intra pairs at est 1.0
+    grp = [(a, b) for (a, b) in got if a.startswith("grp-") and b.startswith("grp-")]
+    assert len(grp) == 15 and all(got[p] == 1.0 for p in grp)

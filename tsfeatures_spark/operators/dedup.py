@@ -83,9 +83,13 @@ def _shingle_hashes_batch(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     buf = np.frombuffer(b"".join(encs), dtype=np.uint8).astype(np.uint64)
     n_total = len(buf) - shingle + 1
     base = np.uint64(1099511628211)
-    acc = np.zeros(n_total, dtype=np.uint64)
-    for j in range(shingle):
-        acc = acc * base + buf[j : j + n_total]
+    # in-place accumulation (r06): the a*base+b form allocated a fresh
+    # n_total temporary per shingle byte — 2 allocs+copies x shingle;
+    # identical values, ~40% less rolling-hash time
+    acc = buf[0:n_total].copy()
+    for j in range(1, shingle):
+        acc *= base
+        acc += buf[j : j + n_total]
     acc &= np.uint64(_MERSENNE)
     doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     # valid window-start positions: those whose whole window stays inside
@@ -102,16 +106,24 @@ def _shingle_hashes_batch(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
         valid[zone] = False
     vh = acc[valid]
     # every doc is padded to >= shingle bytes, so doc d owns exactly
-    # lens[d]-shingle+1 valid windows, in position order (doc-major)
-    vd = np.repeat(np.arange(n_docs, dtype=np.int32), lens - shingle + 1)
-    order = np.lexsort((vh, vd))
-    vh = vh[order]
-    vd = vd[order]
+    # lens[d]-shingle+1 valid windows, in position order (doc-major).
+    # Sort WITHIN each doc segment in place (r06): the rows are already
+    # doc-major, so the old global lexsort((vh, vd)) re-derived an order
+    # we already had at O(n log n) over the whole batch — per-segment
+    # introsort of the same data is ~10x faster and yields the identical
+    # (doc-major, hash-ascending) order (pinned bit-identical by
+    # tests/test_dedup_batch.py).
+    seg_lens = lens - shingle + 1
+    seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    for i in range(n_docs):
+        vh[seg_starts[i] : seg_starts[i] + seg_lens[i]].sort()
     keep = np.empty(len(vh), dtype=bool)
     if len(vh):
         keep[0] = True
-        keep[1:] = (vd[1:] != vd[:-1]) | (vh[1:] != vh[:-1])
+        keep[1:] = vh[1:] != vh[:-1]
+        keep[seg_starts] = True  # segment firsts always kept (doc change)
     hashes = vh[keep]
+    vd = np.repeat(np.arange(n_docs, dtype=np.int32), seg_lens)
     counts = np.bincount(vd[keep], minlength=n_docs)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return hashes, starts
@@ -211,9 +223,53 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       num_hashes: int = 64, bands: int = 16, shingle: int = 5,
                       seed: int = 42) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + estimated jaccard
-    (fraction of agreeing minhashes). Returns (id_a, id_b, est_jaccard)."""
+    (fraction of agreeing minhashes). Returns (id_a, id_b, est_jaccard).
+
+    r06 restructure — the signature KERNEL runs once per unique text:
+    identical texts get identical signatures by construction, so the
+    shingle/minhash mapInPandas computes over one md5-group representative
+    and the per-doc signature table is re-derived by a narrow (_fp -> sig)
+    join. Signature values are bit-identical per doc, and everything
+    downstream (banding, candidate join, est) is unchanged — so the
+    emitted pairs are value-identical to the per-doc formulation (pinned
+    by tests/test_dedup_batch.py::test_minhash_pairs_match_per_doc_reference).
+    On any corpus with exact re-posts (boilerplate crawls; the doubled
+    oracle corpus) this halves the kernel cost. Banding deliberately stays
+    PER DOC: a rep-level band join with post-hoc pair expansion was
+    measured 4x SLOWER on the gate query because caller predicates on the
+    pair ids (the planted-relation filter) can push into a per-doc band
+    join as a join condition but cannot cross the expansion joins —
+    enumerating the corpus's full 24M-pair natural candidate space that
+    the pushed filter otherwise prunes at the probe."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed).cache()
+    d = df.select(F.col(id_col), F.col(text_col))
+    fp = d.withColumn("_fp", F.md5(F.col(text_col)))
+    # one representative row per distinct text; F.first(text) is
+    # deterministic here because every row in the group carries the
+    # identical text (same md5 preimage)
+    reps = (
+        fp.groupBy("_fp")
+        .agg(F.min(id_col).alias("_rid"), F.first(text_col).alias(text_col))
+        .cache()
+    )
+    # eager materialization (r06): these caches have several consumers and
+    # Spark builds broadcast sides in CONCURRENT driver threads — before a
+    # cache is materialized each thread races to compute the whole
+    # underlying plan itself (observed: four simultaneous full evaluations
+    # of the signature scan, ~4x the kernel cost, thrashing every core).
+    # One cheap count() populates each cache once.
+    reps.count()
+    rep_sig = minhash_signatures(
+        reps.select(F.col("_rid").alias(id_col), text_col),
+        text_col, id_col, num_hashes, shingle, seed,
+    ).join(reps.select(F.col("_rid").alias(id_col), "_fp"), id_col)
+    sig = (
+        fp.select(F.col(id_col), "_fp")
+        .join(rep_sig.select("_fp", "sig"), "_fp")
+        .select(F.col(id_col), "sig")
+        .cache()
+    )
+    sig.count()
     # band the ids ONLY: the self-join + distinct then shuffle narrow
     # (id, band) rows, not 64-long signature arrays — the wide sig columns
     # rejoin AFTER dedup, touching each surviving pair once
@@ -283,6 +339,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     banding (any identical band => candidate; guarantees recall for
     distance <= 3)."""
     sig = simhash_signatures(df, text_col, id_col).cache()
+    # eager materialization — same cache-stampede guard as
+    # minhash_lsh_pairs (multiple consumers incl. concurrently-built
+    # broadcast sides would each recompute the signature scan)
+    sig.count()
     banded = sig.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
