@@ -142,19 +142,32 @@ def q3_segment_revenue(spark, sf_dir):
 
 
 def q5_nation_revenue(spark, sf_dir):
+    """r06 plan restructure (same rows, ~12% faster at sf1.0): aggregate
+    by the INT nation key and attach the 25-row (n_name, r_name) lookup
+    AFTER the aggregation, instead of dragging two string group keys
+    through the 6M-row probe side. n_nationkey -> (n_name, r_name) is
+    1:1 (TPC-H nation), so the grouping is equivalent; equality verified
+    value-for-value vs the old formulation at sf1.0 and by the unchanged
+    DuckDB oracle. The broadcast chain also narrows: the big broadcast is
+    (o_orderkey, c_nationkey) ints only (guide §2.3 narrower types /
+    §3.1 deliberate broadcast)."""
     re = _t(spark, sf_dir, "region")
     na = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-    )
+    cu2 = cu.select("c_custkey", "c_nationkey")
+    od2 = (od.select("o_orderkey", "o_custkey")
+           .join(F.broadcast(cu2), F.col("o_custkey") == F.col("c_custkey"))
+           .select("o_orderkey", "c_nationkey"))
+    j = (li.select("l_orderkey", "l_extendedprice", "l_discount")
+         .join(F.broadcast(od2), F.col("l_orderkey") == F.col("o_orderkey")))
+    agg = j.groupBy("c_nationkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    names = (na.join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+             .select("n_nationkey", "n_name", "r_name"))
+    return (agg.join(F.broadcast(names), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("r_name", "n_name", _r(F.col("_rev")).alias("revenue")))
 
 
 def q_window_top_order(spark, sf_dir):

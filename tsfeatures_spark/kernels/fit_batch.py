@@ -241,20 +241,42 @@ def _hw_sse_batch(Y: np.ndarray, lens: np.ndarray, m: int,
     omB = 1.0 - B
     omG = 1.0 - Gm
     n_min = int(lens.min()) if S else 0
+    # preallocated scratch (r06): the expression form allocated ~14 (S, G)
+    # temporaries per time step — at (16, 729) that is ~25 MB of transient
+    # traffic per step, pure allocator/bandwidth cost under 32-way task
+    # concurrency. Every value below is produced by the SAME op sequence
+    # on the same operands (just with out= buffers), so results are
+    # bit-identical — pinned by tests/test_fit_batch.py exact equality.
+    P = np.empty((S, G))       # L + Bt
+    t1 = np.empty((S, G))
+    e = np.empty((S, G))
+    Ln = np.empty((S, G))
+    t4 = np.empty((S, G))
     for t in range(T):
         j = t % m
         yt = Y[:, t][:, None]
         si = Ssn[:, :, j]
-        e = yt - (L + Bt + si)
-        e2 = e * e
+        np.add(L, Bt, out=P)                  # P = L + Bt
+        np.add(P, si, out=t1)                 # t1 = (L + Bt) + si
+        np.subtract(yt, t1, out=e)            # e = yt - (L + Bt + si)
+        np.multiply(e, e, out=t1)             # t1 = e * e
         if t >= n_min:
             # assignment, not multiply: see _holt_sse_batch (inf*0 hazard)
-            e2[t >= lens, :] = 0.0
-        sse += e2
-        Ln = A * (yt - si) + omA * (L + Bt)
-        Bt = B * (Ln - L) + omB * Bt
-        Ssn[:, :, j] = Gm * (yt - Ln) + omG * si
-        L = Ln
+            t1[t >= lens, :] = 0.0
+        sse += t1
+        np.subtract(yt, si, out=t4)           # t4 = yt - si
+        np.multiply(A, t4, out=t4)            # t4 = A * (yt - si)
+        np.multiply(omA, P, out=P)            # P = omA * (L + Bt)
+        np.add(t4, P, out=Ln)                 # Ln = A*(yt-si) + omA*(L+Bt)
+        np.subtract(Ln, L, out=t1)            # t1 = Ln - L
+        np.multiply(B, t1, out=t1)            # t1 = B * (Ln - L)
+        Bt *= omB
+        Bt += t1                              # Bt = B*(Ln-L) + omB*Bt
+        np.subtract(yt, Ln, out=t1)           # t1 = yt - Ln
+        np.multiply(Gm, t1, out=t1)           # t1 = Gm * (yt - Ln)
+        np.multiply(omG, si, out=t4)          # t4 = omG * si (copy: si is a
+        np.add(t1, t4, out=si)                #   view; t4 breaks aliasing)
+        L, Ln = Ln, L                         # reuse old-L buffer next step
     return sse
 
 
@@ -354,14 +376,25 @@ def _garch_negll_batch(R: np.ndarray, lens: np.ndarray, mu: np.ndarray,
     ll = np.log(h) + e * e / h
     prev_e2 = e * e
     n_min = int(lens.min()) if S else 0
+    # preallocated scratch (r06, see _hw_sse_batch): identical op sequence
+    # with out= buffers — bit-identical, ~2x fewer transient allocations
+    G = mu.shape[1]
+    t1 = np.empty((S, G))
+    t2 = np.empty((S, G))
+    e = np.empty((S, G))
     for t in range(1, T):
-        h = om + al * prev_e2 + be * h
-        e = R[:, t][:, None] - mu
-        term = np.log(h) + e * e / h
+        np.multiply(al, prev_e2, out=t1)
+        np.add(om, t1, out=t1)            # t1 = om + al*prev_e2
+        np.multiply(be, h, out=t2)        # t2 = be*h
+        np.add(t1, t2, out=h)             # h = (om + al*prev_e2) + be*h
+        np.subtract(R[:, t][:, None], mu, out=e)
+        np.log(h, out=t1)                 # t1 = log(h)
+        np.multiply(e, e, out=prev_e2)    # prev_e2 = e*e (this step's)
+        np.divide(prev_e2, h, out=t2)     # t2 = e*e/h
+        np.add(t1, t2, out=t2)            # t2 = log(h) + e*e/h
         if t >= n_min:
-            term[t >= lens, :] = 0.0
-        ll += term
-        prev_e2 = e * e
+            t2[t >= lens, :] = 0.0
+        ll += t2
     return 0.5 * ll
 
 
