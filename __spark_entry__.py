@@ -561,6 +561,14 @@ def ts_rollup_1h_cascade(spark, sf_dir):
         F.avg("value").alias("m"),
         (F.var_samp("value") * (F.count(F.lit(1)) - 1)).alias("m2"),
     )
+    # r06 note: the Chan combine consumes the 1m tier three times and the
+    # static plan duplicates the scan+aggregate subtree per consumer. An
+    # eager cache of m1 was A/B'd (interleaved, sf1.0): 1.36s uncached vs
+    # 1.41-1.61s cached — the three duplicate subtrees run CONCURRENTLY in
+    # the broadcast-build threads and fill otherwise-idle cores, while the
+    # cache serializes a materialization job ahead of them. Kept uncached;
+    # at deployed scale the 1m tier is a stored table, so the duplication
+    # is a bench-corpus artifact, not the maintenance-path plan.
     child = m1.withColumn("window_id", (F.col("window_id") / 60).cast("long"))
     keys = ["event_type", "window_id"]
     # numerically stable two-pass Chan combine (see rollup.merge_algebraic)
@@ -704,12 +712,19 @@ def feats_long_kernels_vs_sql(spark, sf_dir):
     stability, lumpiness — from raw rows."""
     from tsfeatures_spark.operators.features import features_long
 
-    p = _event_panel(spark, sf_dir).select("unique_id", "ds", "y")
+    # r06: order by the NATURAL composite key (ts, event_id) instead of
+    # materializing ds = row_number first — the rank cost a full window
+    # Exchange+sort over the raw rows solely to produce a sortable column,
+    # and the kernel re-sorts inside applyInPandas anyway. Same per-series
+    # row order, so identical feature values (plan diff: 2 Exchanges -> 1).
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(F.col("event_type").alias("unique_id"), "ts", "event_id",
+                  F.col("value").alias("y"))
     out = features_long(
         p, freq=1,
         features=["statistics", "crossing_points", "sparsity",
                   "series_length", "stability", "lumpiness"],
-        scale=False,
+        scale=False, time_col=["ts", "event_id"],
     )
     keep = {
         "total_sum": 4, "mean": 4, "variance": 4, "median": 4, "p25": 4,

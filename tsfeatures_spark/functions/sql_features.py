@@ -19,19 +19,26 @@ from pyspark.sql import functions as F
 def statistics_aggs(col: str = "y") -> list[Column]:
     """Reference ``statistics`` kernel (tsfeatures.py:840-881) as native aggs.
     ``percentile`` (exact, linear interpolation) == np.quantile — NOT
-    percentile_approx (SURVEY.md §2.6.11)."""
+    percentile_approx (SURVEY.md §2.6.11).
+
+    r06: the seven quantiles come from ONE array-argument percentile
+    aggregate instead of seven scalar ones — each scalar percentile
+    maintains its own full-column value buffer per group, so the old form
+    buffered every input row seven times. The physical aggregation
+    deduplicates the identical percentile(col, array(...)) expression
+    across the element_at projections, leaving one buffer; Spark's
+    percentile uses the same linear-interpolation formula per requested
+    quantile either way, so values are identical (driver oracle unchanged
+    and green)."""
     c = F.col(col)
+    qs = [0.5, 0.025, 0.05, 0.25, 0.75, 0.95, 0.975]
+    names = ["median", "p2point5", "p5", "p25", "p75", "p95", "p97point5"]
+    pct = F.percentile(c, F.array(*[F.lit(q) for q in qs]))
     return [
         F.sum(c).alias("total_sum"),
         F.avg(c).alias("mean"),
         F.var_samp(c).alias("variance"),
-        F.percentile(c, F.lit(0.5)).alias("median"),
-        F.percentile(c, F.lit(0.025)).alias("p2point5"),
-        F.percentile(c, F.lit(0.05)).alias("p5"),
-        F.percentile(c, F.lit(0.25)).alias("p25"),
-        F.percentile(c, F.lit(0.75)).alias("p75"),
-        F.percentile(c, F.lit(0.95)).alias("p95"),
-        F.percentile(c, F.lit(0.975)).alias("p97point5"),
+        *[F.element_at(pct, i + 1).alias(n) for i, n in enumerate(names)],
         F.max(c).alias("max"),
         F.min(c).alias("min"),
     ]

@@ -279,9 +279,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.array(*[F.hash(F.slice("sig", i * rows + 1, rows)).alias(f"b{i}") for i in range(bands)])
         ).alias("band_id", "band_hash"),
     )
+    # shuffle_hash hints (r06): with the signature cache materialized,
+    # Catalyst's size estimates put BOTH the banded side and the sig
+    # rejoins under the broadcast threshold — four ~30-50MB broadcast
+    # builds whose transient hash relations drove the join stage to ~50%
+    # JVM GC time. Hinted shuffled-hash joins partition narrow keys
+    # instead (interleaved A/B at sf1.0: min 6.9s vs 7.4s, and no
+    # multi-GB driver relation at corpus scale where neither side is
+    # broadcastable anyway — guide §3.1).
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), ["band_id", "band_hash"])
+        .join(banded.alias("r").hint("shuffle_hash"), ["band_id", "band_hash"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -290,8 +298,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = (
-        cand.join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        cand.join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+                  .hint("shuffle_hash"), "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+              .hint("shuffle_hash"), "id_b")
     )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),

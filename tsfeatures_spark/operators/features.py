@@ -148,11 +148,20 @@ def features_long(
     via pd.infer_freq + the FREQS map and fails the task with the
     reference's error semantics when inference is impossible
     (tsfeatures.py:898-913).
+
+    ``time_col`` may be a LIST of columns (r06): the rows are ordered by
+    the composite key inside each group. A caller whose natural order is
+    (timestamp, tie-break-id) can then skip materializing a dense rank
+    first — the rank was a whole extra window Exchange+sort over the raw
+    rows just to produce a single sortable column, when the kernel
+    re-sorts in pandas anyway. Frequency inference (freq=None) uses the
+    first column.
     """
     names = features if features is not None else DEFAULT_FEATURES
     fields = output_fields(names)
     schema = _schema(id_col, names)
     freqs_map = dict_freqs if dict_freqs is not None else FREQS
+    tcols = [time_col] if isinstance(time_col, str) else list(time_col)
 
     # NOTE: deliberately un-annotated — with `from __future__ import
     # annotations` in scope, partial string hints make PySpark's eval-type
@@ -162,10 +171,10 @@ def features_long(
         import warnings
 
         warnings.filterwarnings("ignore")
-        pdf = pdf.sort_values(time_col)
+        pdf = pdf.sort_values(tcols)
         m = freq
         if m is None:
-            inf = pd.infer_freq(pd.DatetimeIndex(pdf[time_col]))
+            inf = pd.infer_freq(pd.DatetimeIndex(pdf[tcols[0]]))
             if inf is None:
                 raise ValueError(
                     "Failed to infer frequency from the `ds` column, "
@@ -181,4 +190,4 @@ def features_long(
         vals = compute_features(y, int(m), names, scale=scale)
         return pd.DataFrame([[str(key[0])] + [vals.get(f, np.nan) for f in fields]], columns=[id_col] + fields)
 
-    return df.select(id_col, time_col, value_col).groupBy(id_col).applyInPandas(run, schema=schema)
+    return df.select(id_col, *tcols, value_col).groupBy(id_col).applyInPandas(run, schema=schema)
