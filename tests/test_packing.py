@@ -118,10 +118,14 @@ def test_pack_non_integral_order_col_raises(spark):
 
 def test_pack_scans_input_exactly_once(spark):
     """VERDICT r04 'What's wrong #2a': the bounds + subtotal driver jobs
-    must read a cached projection, not re-scan the source. Pin it by
-    counting InMemoryTableScan in the returned plan (pass 2 reads cache)."""
+    must read a materialized projection, not re-scan the source. Since
+    r06 the projection is a localCheckpoint (eager) instead of persist()
+    — the blocks release automatically when the returned plan is GC'd
+    (ADVICE r05 leak fix) — so pass 2 shows as a checkpoint RDD scan and
+    the source relation must NOT appear in the returned plan at all."""
     df = spark.createDataFrame(_skewed_pdf(n=100))
     plan = pack_sequences(df, budget=128, n_buckets=8)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "InMemoryTableScan" in plan
-    spark.catalog.clearCache()
+    assert "Scan ExistingRDD" in plan
+    # the original LocalTableScan of `df` must not be re-read by pass 2
+    assert "LocalTableScan" not in plan

@@ -10,6 +10,11 @@
 # the race (TRIAL_FLAG appeared around our claim), yield the flag back
 # so the pair completes SAVED, wait it out, and retry the claim.
 set -e
+# install the cleanup trap BEFORE the first touch (ADVICE r05): an
+# interrupt during the grace sleep or the retry sleep must not leave the
+# flag behind (a stale flag stalls subsequent bench runs for up to
+# DEV_WAIT_SEC); the trap is a no-op until the flag exists.
+trap 'rm -f /tmp/graft_dev_busy' EXIT
 while :; do
     while [ -e /tmp/graft_trial_running ]; do sleep 5; done
     touch /tmp/graft_dev_busy
@@ -24,6 +29,5 @@ while :; do
     fi
     break
 done
-trap 'rm -f /tmp/graft_dev_busy' EXIT
 # the flag belongs to this shell: a child bench.py must not wait on it
 SPARK_GRAFT_DEV_PARENT=1 "$@"

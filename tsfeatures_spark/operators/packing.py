@@ -74,22 +74,32 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_tok",
             f"integer rank first (e.g. unix_timestamp / row_number)"
         )
     spark = df.sparkSession
-    # one scan of the input: the 3-column projection is cached, so the
-    # bounds job, the subtotal job and the returned pass-2 plan all read
-    # the (narrow, columnar) cache instead of re-scanning the source —
-    # at 100 TB the projection is a small fraction of the table and
-    # MEMORY_AND_DISK degrades to local spill, never recompute
-    d0 = df.select(key_col, order_col, F.col(cost_col).alias("_cost")).persist()
+    # one scan of the input: the 3-column projection is materialized via
+    # localCheckpoint (eager), so the bounds job, the subtotal job and
+    # the returned pass-2 plan all read the stored blocks instead of
+    # re-scanning the source. localCheckpoint rather than persist()
+    # (ADVICE r05): a persist() handle unreachable to callers accumulated
+    # cached blocks across repeated calls with no release path short of
+    # clearCache(); checkpoint blocks are freed by the ContextCleaner as
+    # soon as the returned plan (and its RDD) is garbage-collected, so
+    # the lifecycle follows the result automatically. At 100 TB the
+    # projection is a small fraction of the table and blocks spill to
+    # local disk, never recompute.
+    d0 = df.select(key_col, order_col, F.col(cost_col).alias("_cost")).localCheckpoint()
     bounds = d0.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).collect()[0]
     if bounds["lo"] is None:
-        d0.unpersist()
         return df.select(
             F.col(key_col), F.col(order_col), F.col(cost_col).alias("_cost"),
         ).withColumn("bin_id", F.lit(0).cast("long")).limit(0)
     span = int(bounds["hi"]) - int(bounds["lo"]) + 1
     k = max(span // max(n_buckets, 1), 1)
+    # integer bucket arithmetic (ADVICE r05): the float-divide-then-cast
+    # form could shift a bucket boundary for order values beyond 2^53;
+    # `div` matches the documented `order_col // k` exactly (bucketing is
+    # row-identity-invariant either way — pinned by tests — but the code
+    # now does what the TypeError message says)
     d = d0.withColumn(
-        "_bkt", ((F.col(order_col) - int(bounds["lo"])) / k).cast("long")
+        "_bkt", F.expr(f"(`{order_col}` - {int(bounds['lo'])}L) div {k}L")
     )
     # pass 1: per-(key, bucket) subtotals -> exclusive per-key offsets in
     # bucket order (driver-scale: <= n_keys * (n_buckets + 1) rows).

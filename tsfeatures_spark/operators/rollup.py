@@ -349,6 +349,17 @@ def rollup_tiers(df, tiers: List[str] = TIER_ORDER, batch_docs: int = 64,
 
     out_cols = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")]
 
+    if arrow:
+        # runtime signal to match the docstring (ADVICE r05): the
+        # mapInArrow twin was deleted after the round-5 A/B; arrow=True
+        # silently took the pandas path since then
+        import warnings
+
+        warnings.warn(
+            "rollup_tiers(arrow=True) is ignored: the mapInArrow variant was "
+            "removed (round-5 A/B, BENCH/ab_arrow.json); running mapInPandas.",
+            DeprecationWarning, stacklevel=2)
+
     if split_giant_tok is not None:
         from .skew import split_giant_docs
 
