@@ -246,30 +246,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     fp = d.withColumn("_fp", F.md5(F.col(text_col)))
     # one representative row per distinct text; F.first(text) is
     # deterministic here because every row in the group carries the
-    # identical text (same md5 preimage)
-    reps = (
-        fp.groupBy("_fp")
-        .agg(F.min(id_col).alias("_rid"), F.first(text_col).alias(text_col))
-        .cache()
-    )
-    # eager materialization (r06): these caches have several consumers and
-    # Spark builds broadcast sides in CONCURRENT driver threads — before a
-    # cache is materialized each thread races to compute the whole
-    # underlying plan itself (observed: four simultaneous full evaluations
-    # of the signature scan, ~4x the kernel cost, thrashing every core).
-    # One cheap count() populates each cache once.
-    reps.count()
+    # identical text (same md5 preimage). Deliberately NOT materialized:
+    # its two consumers below are evaluated inside the single signature-
+    # materialization job, where the duplicated subtree runs concurrently
+    # on otherwise-idle cores (A/B: eager reps cost +0.6s of serialized
+    # latency for nothing).
+    reps = fp.groupBy("_fp").agg(
+        F.min(id_col).alias("_rid"), F.first(text_col).alias(text_col))
     rep_sig = minhash_signatures(
         reps.select(F.col("_rid").alias(id_col), text_col),
         text_col, id_col, num_hashes, shingle, seed,
     ).join(reps.select(F.col("_rid").alias(id_col), "_fp"), id_col)
+    # EAGER materialization of the per-doc signature table (r06): it has
+    # four consumers (band join l/r + the two signature rejoins) whose
+    # leaf stages Spark submits CONCURRENTLY — against a lazy plan each
+    # raced to recompute the whole signature scan itself (observed: four
+    # simultaneous full evaluations, ~4x the kernel cost, thrashing every
+    # core). localCheckpoint rather than cache+count: one job instead of
+    # two, and the blocks free automatically when the plan is GC'd
+    # (repeated bench trials don't accumulate cache entries). Trade-off:
+    # checkpoint blocks are not recomputable on executor loss — the query
+    # fails and retries whole, acceptable for a bounded intermediate.
     sig = (
         fp.select(F.col(id_col), "_fp")
         .join(rep_sig.select("_fp", "sig"), "_fp")
         .select(F.col(id_col), "sig")
-        .cache()
+        .localCheckpoint()
     )
-    sig.count()
     # band the ids ONLY: the self-join + distinct then shuffle narrow
     # (id, band) rows, not 64-long signature arrays — the wide sig columns
     # rejoin AFTER dedup, touching each surviving pair once
@@ -348,11 +351,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (any identical band => candidate; guarantees recall for
     distance <= 3)."""
-    sig = simhash_signatures(df, text_col, id_col).cache()
-    # eager materialization — same cache-stampede guard as
-    # minhash_lsh_pairs (multiple consumers incl. concurrently-built
-    # broadcast sides would each recompute the signature scan)
-    sig.count()
+    # eager materialization — same stampede guard as minhash_lsh_pairs
+    # (multiple consumers whose leaf stages are submitted concurrently
+    # would each recompute the signature scan); localCheckpoint so the
+    # blocks free when the plan is GC'd
+    sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
     banded = sig.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
