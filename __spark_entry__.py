@@ -886,6 +886,21 @@ def _doubled_docs(spark, sf_dir, repartition=True):
     return doubled.repartition(int(spark.sparkContext.defaultParallelism))
 
 
+
+def _is_copy_of(big: str, small: str):
+    """Planted-relation test `big == 'copy-' || small` WITHOUT building the
+    concatenation per comparison (r06): the equality is equivalent to
+    length(big) == length(small)+5 AND big startswith 'copy-' AND big
+    endswith small ('copy-' is exactly 5 chars, so prefix+suffix+length
+    determine the string). The predicate gets pushed into the LSH band
+    join as a join condition evaluated once per same-bucket candidate pair
+    (~10^8 evaluations at sf1.0) — startswith/endswith are allocation-free
+    byte compares where concat allocated a new string per probe
+    (interleaved A/B: 5.0-5.2s vs 6.1-6.7s). Verified row-identical."""
+    return ((F.length(big) == F.length(small) + 5)
+            & F.col(big).startswith("copy-")
+            & F.col(big).endswith(F.col(small)))
+
 def dedup_minhash_lsh(spark, sf_dir):
     """Minhash-LSH under the oracle gate: on the doubled corpus, the pairs
     with est_jaccard == 1.0 (all 64 minhashes agree) must be EXACTLY the
@@ -913,8 +928,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # neither text-lookup join shuffles or broadcasts the full doubled
     # corpus (plan diff: the two text-table BroadcastExchanges replaced by
     # one small pair-side broadcast per join).
-    pairs = pairs.where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
-                        | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
+    pairs = pairs.where(_is_copy_of("id_b", "id_a") | _is_copy_of("id_a", "id_b"))
     j1 = t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta").join(
         F.broadcast(pairs), "id_a")
     j2 = t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb").join(
@@ -951,9 +965,9 @@ def dedup_simhash(spark, sf_dir):
         pairs.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
         .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
         .where(F.col("ta") == F.col("tb"))
-        # explicit planted-pair contract + normalized ordering (ADVICE r03)
-        .where((F.col("id_b") == F.concat(F.lit("copy-"), F.col("id_a")))
-               | (F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b"))))
+        # explicit planted-pair contract + normalized ordering (ADVICE r03);
+        # allocation-free predicate form (see _is_copy_of)
+        .where(_is_copy_of("id_b", "id_a") | _is_copy_of("id_a", "id_b"))
         .select(
             # exact planted relation, not a prefix check (ADVICE r04)
             F.when(F.col("id_a") == F.concat(F.lit("copy-"), F.col("id_b")),
