@@ -244,19 +244,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows = num_hashes // bands
     d = df.select(F.col(id_col), F.col(text_col))
     fp = d.withColumn("_fp", F.md5(F.col(text_col)))
-    # one representative row per distinct text; F.first(text) is
-    # deterministic here because every row in the group carries the
-    # identical text (same md5 preimage). Deliberately NOT materialized:
-    # its two consumers below are evaluated inside the single signature-
-    # materialization job, where the duplicated subtree runs concurrently
-    # on otherwise-idle cores (A/B: eager reps cost +0.6s of serialized
-    # latency for nothing).
-    reps = fp.groupBy("_fp").agg(
-        F.min(id_col).alias("_rid"), F.first(text_col).alias(text_col))
-    rep_sig = minhash_signatures(
-        reps.select(F.col("_rid").alias(id_col), text_col),
-        text_col, id_col, num_hashes, shingle, seed,
-    ).join(reps.select(F.col("_rid").alias(id_col), "_fp"), id_col)
+    # one representative row per distinct text, KEYED BY the fingerprint
+    # itself (no min-id pick, no rep-id rejoin — one join fewer than the
+    # first r06 cut); F.first(text) is deterministic here because every
+    # row in the group carries the identical text (same md5 preimage).
+    # Deliberately NOT materialized: its consumer evaluates inside the
+    # single signature-materialization job.
+    reps = fp.groupBy("_fp").agg(F.first(text_col).alias(text_col))
+    rep_sig = minhash_signatures(reps, text_col, "_fp", num_hashes, shingle, seed)
     # EAGER materialization of the per-doc signature table (r06): it has
     # four consumers (band join l/r + the two signature rejoins) whose
     # leaf stages Spark submits CONCURRENTLY — against a lazy plan each
@@ -269,7 +264,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # fails and retries whole, acceptable for a bounded intermediate.
     sig = (
         fp.select(F.col(id_col), "_fp")
-        .join(rep_sig.select("_fp", "sig"), "_fp")
+        .join(rep_sig, "_fp")
         .select(F.col(id_col), "sig")
         .localCheckpoint()
     )
