@@ -660,3 +660,62 @@ def test_decode_media_real_decoder_injection(spark):
     # delegated row: byte-identical to the uninjected built-in decode
     for c in ("decode_ok", "width", "height", "ahash", "digest", "n_bytes"):
         assert got.loc["ppm1", c] == base.loc["ppm1", c], c
+
+
+def test_statistics_aggs_array_percentile_matches_numpy(spark):
+    """r06: the seven exact quantiles come from ONE array-argument
+    percentile aggregate (shared buffer) — values must equal np.quantile
+    (linear interpolation) and the per-scalar formulation exactly."""
+    from tsfeatures_spark.functions import statistics_aggs
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 500),
+        "y": np.concatenate([rng.normal(10, 4, 500), rng.lognormal(1, 1, 500)]),
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = (sdf.groupBy("k").agg(*statistics_aggs("y"))
+           .toPandas().set_index("k").sort_index())
+    qs = {"median": 0.5, "p2point5": 0.025, "p5": 0.05, "p25": 0.25,
+          "p75": 0.75, "p95": 0.95, "p97point5": 0.975}
+    # the invariant the r06 rewrite must preserve: EXACT equality with the
+    # per-scalar percentile aggregates it replaced (numpy agrees to within
+    # 1 ulp — a pre-existing interpolation-arithmetic difference absorbed
+    # by the oracle rounding, asserted loosely below)
+    scal = (sdf.groupBy("k").agg(*[
+        F.percentile(F.col("y"), F.lit(q)).alias(c) for c, q in qs.items()])
+        .toPandas().set_index("k").sort_index())
+    for key, grp in pdf.groupby("k"):
+        v = grp["y"].to_numpy()
+        for col, q in qs.items():
+            assert out.loc[key, col] == scal.loc[key, col], (key, col)
+            assert out.loc[key, col] == pytest.approx(np.quantile(v, q), rel=1e-12)
+        assert out.loc[key, "total_sum"] == pytest.approx(v.sum())
+        assert out.loc[key, "variance"] == pytest.approx(v.var(ddof=1))
+
+
+def test_features_long_composite_time_col_equals_prerank(spark):
+    """r06: features_long(time_col=[a, b]) must equal the old
+    materialize-a-dense-rank-first formulation (same per-series order)."""
+    from pyspark.sql import Window
+
+    from tsfeatures_spark.operators.features import features_long
+
+    rng = np.random.default_rng(5)
+    n = 400
+    pdf = pd.DataFrame({
+        "unique_id": np.repeat(["s1", "s2"], n // 2),
+        "t1": np.tile(np.repeat(np.arange(n // 4), 2), 2),  # ties in t1
+        "t2": rng.permutation(n),                            # tie-break
+        "y": rng.normal(size=n),
+    })
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=0))
+    feats = ["statistics", "crossing_points", "stability", "lumpiness"]
+    new = features_long(df, freq=1, features=feats, scale=False,
+                        time_col=["t1", "t2"]).toPandas()
+    w = Window.partitionBy("unique_id").orderBy("t1", "t2")
+    ranked = df.withColumn("ds", F.row_number().over(w))
+    old = features_long(ranked, freq=1, features=feats, scale=False).toPandas()
+    a = new.sort_values("unique_id").reset_index(drop=True)
+    b = old.sort_values("unique_id").reset_index(drop=True)[new.columns]
+    pd.testing.assert_frame_equal(a, b)
