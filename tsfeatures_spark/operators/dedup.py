@@ -182,7 +182,8 @@ def _rebatch(batches, target_rows: int, text_col: str | None = None,
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle: int = 5, seed: int = 42,
-                       batch_rows: int = 4096, chunk_hashes: int = 16384) -> DataFrame:
+                       batch_rows: int = 4096, chunk_hashes: int = 16384,
+                       id_type: str = "string") -> DataFrame:
     """(doc_id, sig: array<long>) — k-permutation minhash via universal
     hashing ((a*x+b) mod p), vectorized NumPy inside mapInPandas.
 
@@ -192,7 +193,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     no per-doc Python in the loop. ``chunk_hashes`` keeps the working
     matrix cache-resident (k * chunk u64 = 8 MB at the defaults — an
     order-of-magnitude win over a memory-bandwidth-bound monolithic
-    matrix, measured in tests/test_dedup.py's micro-bench)."""
+    matrix, measured in tests/test_dedup.py's micro-bench).
+
+    ``id_type`` lets the id column be a non-string passthrough (e.g.
+    ``array<string>`` of member doc ids when the caller pre-groups
+    identical texts) — the kernel never inspects it."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
     B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
@@ -216,7 +221,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             sig64 = mins.astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": [sig64[:, i] for i in range(n_docs)]})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} string, sig array<long>")
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, sig array<long>")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -228,8 +234,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     r06 restructure — the signature KERNEL runs once per unique text:
     identical texts get identical signatures by construction, so the
     shingle/minhash mapInPandas computes over one md5-group representative
-    and the per-doc signature table is re-derived by a narrow (_fp -> sig)
-    join. Signature values are bit-identical per doc, and everything
+    (member ids riding along as a collect_list) and the per-doc signature
+    table is re-derived by exploding the id list — no rejoin at all.
+    Signature values are bit-identical per doc, and everything
     downstream (banding, candidate join, est) is unchanged — so the
     emitted pairs are value-identical to the per-doc formulation (pinned
     by tests/test_dedup_batch.py::test_minhash_pairs_match_per_doc_reference).
@@ -244,14 +251,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows = num_hashes // bands
     d = df.select(F.col(id_col), F.col(text_col))
     fp = d.withColumn("_fp", F.md5(F.col(text_col)))
-    # one representative row per distinct text, KEYED BY the fingerprint
-    # itself (no min-id pick, no rep-id rejoin — one join fewer than the
-    # first r06 cut); F.first(text) is deterministic here because every
-    # row in the group carries the identical text (same md5 preimage).
-    # Deliberately NOT materialized: its consumer evaluates inside the
-    # single signature-materialization job.
-    reps = fp.groupBy("_fp").agg(F.first(text_col).alias(text_col))
-    rep_sig = minhash_signatures(reps, text_col, "_fp", num_hashes, shingle, seed)
+    # one representative row per distinct text; the group's MEMBER IDS ride
+    # along as collect_list so per-doc signatures come from a narrow
+    # explode after the kernel instead of a (_fp -> sig) rejoin — one join
+    # + one exchange fewer than the first r06 cut (the groupBy shuffle
+    # carries the id list, which is tiny next to the text it already
+    # carries). F.first(text) is deterministic here because every row in
+    # the group carries the identical text (same md5 preimage); list order
+    # is irrelevant (explode emits all members).
+    reps = fp.groupBy("_fp").agg(F.first(text_col).alias(text_col),
+                                 F.collect_list(id_col).alias("_ids"))
+    rep_sig = minhash_signatures(reps, text_col, "_ids", num_hashes, shingle, seed,
+                                 id_type="array<string>")
     # EAGER materialization of the per-doc signature table (r06): it has
     # four consumers (band join l/r + the two signature rejoins) whose
     # leaf stages Spark submits CONCURRENTLY — against a lazy plan each
@@ -263,9 +274,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # checkpoint blocks are not recomputable on executor loss — the query
     # fails and retries whole, acceptable for a bounded intermediate.
     sig = (
-        fp.select(F.col(id_col), "_fp")
-        .join(rep_sig, "_fp")
-        .select(F.col(id_col), "sig")
+        rep_sig.select(F.explode("_ids").alias(id_col), "sig")
         .localCheckpoint()
     )
     # band the ids ONLY: the self-join + distinct then shuffle narrow
@@ -311,11 +320,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        shingle: int = 4, batch_rows: int = 4096,
-                       chunk_hashes: int = 16384) -> DataFrame:
+                       chunk_hashes: int = 16384, id_type: str = "string") -> DataFrame:
     """64-bit SimHash over character shingles (sign of per-bit vote).
     Batch-vectorized like ``minhash_signatures``: per-bit votes for every
     doc in the batch come from one ``np.add.reduceat`` over the
-    concatenated hash buffer."""
+    concatenated hash buffer. ``id_type`` as in ``minhash_signatures``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -338,7 +347,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 axis=1, dtype=np.uint64).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sig})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} string, simhash long")
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash long")
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -346,11 +356,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (any identical band => candidate; guarantees recall for
     distance <= 3)."""
-    # eager materialization — same stampede guard as minhash_lsh_pairs
+    # kernel once per unique text + explode of member ids (r06, same
+    # recipe as minhash_lsh_pairs: identical texts produce identical
+    # simhashes by construction, so per-doc values are unchanged while a
+    # boilerplate-heavy corpus pays the shingle/vote kernel once per
+    # distinct text); eager localCheckpoint is the same stampede guard
     # (multiple consumers whose leaf stages are submitted concurrently
-    # would each recompute the signature scan); localCheckpoint so the
-    # blocks free when the plan is GC'd
-    sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    # would each recompute the signature scan), blocks free when the plan
+    # is GC'd
+    fp = df.withColumn("_fp", F.md5(F.col(text_col)))
+    reps = fp.groupBy("_fp").agg(F.first(text_col).alias(text_col),
+                                 F.collect_list(id_col).alias("_ids"))
+    rep_sig = simhash_signatures(reps, text_col, "_ids", id_type="array<string>")
+    sig = (rep_sig.select(F.explode("_ids").alias(id_col), "simhash")
+           .localCheckpoint())
     banded = sig.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
